@@ -1,0 +1,20 @@
+"""vorbis_tpu — a TPU-native Ogg Vorbis codec framework.
+
+A from-scratch rebuild of the capabilities of libvorbis 1.3.7 + aoTuV
+beta6.03 + Lancer (reference: spvkgn/vorbis-aotuv-lancer) designed for
+TPU hardware: the DSP pipeline (windows, MDCT/FFT, psychoacoustics,
+floor fitting, channel coupling, residue VQ, floor synthesis, IMDCT,
+overlap-add) runs as batched JAX/XLA/Pallas kernels over many audio
+frames per step; only Huffman bit I/O and Ogg framing run on the host.
+
+Layout:
+  bitstream/  host bit-level substrate (oggpack-style bit I/O, Ogg framing)
+  codec/      codec state machines: headers, codebooks, encode/decode drivers
+  ops/        device (JAX) DSP kernels: mdct, rdft, windows, floor, psy, VQ
+  models/     quality-ladder mode templates (the codec "model zoo")
+  parallel/   multi-chip sharding of the stream/frame batch axis
+  utils/      scales (dB/Bark/octave), misc helpers
+  data/       transcribed static tables (codebooks, mode templates) as .npz
+"""
+
+__version__ = "0.1.0"
