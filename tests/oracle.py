@@ -241,3 +241,151 @@ def make_test_signal(rate=44100, seconds=1.0, ch=2, kind="mix", seed=0):
         env = np.minimum(1.0, np.minimum(t / 0.01, (t[-1] - t) / 0.01 + 1e-9))
         out[c] = (sig * env * 0.7).astype(np.float32)
     return np.clip(out, -1.0, 1.0)
+
+
+# --- reference-tree oracle (compiled aoTuV/Lancer scalar lib) -------------
+# Built once into /tmp/refdsp/libvorbisref.so by tests that need it; this
+# is THE bit-exactness target (BASELINE.md: decode PCM bit-identical to
+# the reference tree, which may differ from distro libvorbis by ulps).
+
+REFLIB_PATH = "/tmp/refdsp/libvorbisref.so"
+
+
+def build_reflib():
+    """Compile the reference tree's lib (scalar paths) into a shared
+    object linked against the distro libogg.  Idempotent."""
+    import subprocess
+    if os.path.exists(REFLIB_PATH):
+        return REFLIB_PATH
+    raise RuntimeError(
+        "reference oracle lib missing; build via tools/build_reflib.sh")
+
+
+class RefLib:
+    def __init__(self):
+        build_reflib()
+        self.lib = C.CDLL(REFLIB_PATH, mode=C.RTLD_GLOBAL)
+        self.lib.vorbis_analysis_buffer.restype = C.POINTER(C.POINTER(C.c_float))
+        self.lib.vorbis_synthesis_pcmout.restype = C.c_int
+        self.lib.vorbis_window.restype = C.POINTER(C.c_float)
+
+    def decode_packets(self, packets):
+        """packets: list of (bytes, granulepos_or_None, eos).  First 3
+        must be the headers.  Returns (ch, n) float32 PCM decoded by the
+        REFERENCE library."""
+        lib = self.lib
+        vi = vorbis_info()
+        vc = vorbis_comment()
+        lib.vorbis_info_init(C.byref(vi))
+        lib.vorbis_comment_init(C.byref(vc))
+        bufs = []
+
+        def mkpkt(data, gp, eos, no):
+            buf = C.create_string_buffer(bytes(data), len(data))
+            bufs.append(buf)
+            op = ogg_packet()
+            op.packet = C.cast(buf, C.POINTER(C.c_ubyte))
+            op.bytes = len(data)
+            op.b_o_s = 1 if no == 0 else 0
+            op.e_o_s = 1 if eos else 0
+            op.granulepos = -1 if gp is None else gp
+            op.packetno = no
+            return op
+
+        for i in range(3):
+            data, gp, eos = packets[i]
+            r = lib.vorbis_synthesis_headerin(C.byref(vi), C.byref(vc),
+                                              C.byref(mkpkt(data, gp, eos, i)))
+            assert r == 0, f"headerin failed {r}"
+        vd = vorbis_dsp_state()
+        vb = vorbis_block()
+        assert lib.vorbis_synthesis_init(C.byref(vd), C.byref(vi)) == 0
+        lib.vorbis_block_init(C.byref(vd), C.byref(vb))
+        ch = vi.channels
+        chunks = []
+        pcmp = C.POINTER(C.POINTER(C.c_float))()
+        for no, (data, gp, eos) in enumerate(packets[3:], start=3):
+            op = mkpkt(data, gp, eos, no)
+            if lib.vorbis_synthesis(C.byref(vb), C.byref(op)) == 0:
+                lib.vorbis_synthesis_blockin(C.byref(vd), C.byref(vb))
+            while True:
+                n = lib.vorbis_synthesis_pcmout(C.byref(vd), C.byref(pcmp))
+                if n <= 0:
+                    break
+                frame = np.empty((ch, n), dtype=np.float32)
+                for c in range(ch):
+                    frame[c] = np.ctypeslib.as_array(pcmp[c], shape=(n,))
+                chunks.append(frame)
+                lib.vorbis_synthesis_read(C.byref(vd), n)
+        lib.vorbis_block_clear(C.byref(vb))
+        lib.vorbis_dsp_clear(C.byref(vd))
+        lib.vorbis_comment_clear(C.byref(vc))
+        lib.vorbis_info_clear(C.byref(vi))
+        return (np.concatenate(chunks, axis=1) if chunks
+                else np.zeros((ch, 0), np.float32))
+
+    def encode_packets(self, pcm, rate, quality, managed_kbps=None):
+        """Encode with the REFERENCE encoder; returns (header_packets[3],
+        audio list of (bytes, granulepos, eos)) — golden aoTuV packets."""
+        lib = self.lib
+        pcm = np.ascontiguousarray(pcm, dtype=np.float32)
+        ch, nsamp = pcm.shape
+        vi = vorbis_info()
+        lib.vorbis_info_init(C.byref(vi))
+        if managed_kbps is not None:
+            r = lib.vorbis_encode_init(C.byref(vi), C.c_long(ch), C.c_long(rate),
+                                       C.c_long(managed_kbps * 1000),
+                                       C.c_long(managed_kbps * 1000),
+                                       C.c_long(managed_kbps * 1000))
+        else:
+            r = lib.vorbis_encode_init_vbr(C.byref(vi), C.c_long(ch),
+                                           C.c_long(rate), C.c_float(quality))
+        assert r == 0, f"ref vorbis_encode_init failed: {r}"
+        vc = vorbis_comment()
+        lib.vorbis_comment_init(C.byref(vc))
+        vd = vorbis_dsp_state()
+        vb = vorbis_block()
+        lib.vorbis_analysis_init(C.byref(vd), C.byref(vi))
+        lib.vorbis_block_init(C.byref(vd), C.byref(vb))
+        h1, h2, h3 = ogg_packet(), ogg_packet(), ogg_packet()
+        lib.vorbis_analysis_headerout(C.byref(vd), C.byref(vc), C.byref(h1),
+                                      C.byref(h2), C.byref(h3))
+        headers = [C.string_at(h.packet, h.bytes) for h in (h1, h2, h3)]
+        audio = []
+        CHUNK = 1024
+        pos = 0
+        done = False
+        while True:
+            if not done:
+                n = min(CHUNK, nsamp - pos)
+                buf = lib.vorbis_analysis_buffer(C.byref(vd), C.c_int(CHUNK))
+                for c in range(ch):
+                    C.memmove(buf[c], pcm[c, pos:pos + n].ctypes.data, 4 * n)
+                lib.vorbis_analysis_wrote(C.byref(vd), C.c_int(n))
+                pos += n
+                if n == 0:
+                    done = True
+            while lib.vorbis_analysis_blockout(C.byref(vd), C.byref(vb)) == 1:
+                lib.vorbis_analysis(C.byref(vb), None)
+                lib.vorbis_bitrate_addblock(C.byref(vb))
+                op = ogg_packet()
+                while lib.vorbis_bitrate_flushpacket(C.byref(vd), C.byref(op)):
+                    audio.append((C.string_at(op.packet, op.bytes),
+                                  int(op.granulepos), bool(op.e_o_s)))
+            if done:
+                break
+        lib.vorbis_block_clear(C.byref(vb))
+        lib.vorbis_dsp_clear(C.byref(vd))
+        lib.vorbis_comment_clear(C.byref(vc))
+        lib.vorbis_info_clear(C.byref(vi))
+        return headers, audio
+
+
+_reflib = None
+
+
+def reflib():
+    global _reflib
+    if _reflib is None:
+        _reflib = RefLib()
+    return _reflib
