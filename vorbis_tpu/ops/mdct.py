@@ -321,3 +321,117 @@ def imdct(spec, n: int, xp=np):
     a = z0 * Ts - z1 * Tc
     b = -(z0 * Tc + z1 * Ts)
     return xp.concatenate([a[..., ::-1], -a, b[..., ::-1], b], axis=-1)
+
+
+@lru_cache(maxsize=None)
+def _mdct_forward_index_tables(n: int):
+    """Gather indices for the forward MDCT input fold (reference:
+    lib/mdct.c mdct_forward scalar; three loops folding the windowed
+    n-point input into an n/2 rotated working vector)."""
+    _, T, _ = mdct_tables(n)
+    n2, n4, n8 = n >> 1, n >> 2, n >> 3
+    a0 = np.zeros(n4, dtype=np.int64)   # contributes to r0
+    a1 = np.zeros(n4, dtype=np.int64)
+    a2 = np.zeros(n4, dtype=np.int64)   # contributes to r1
+    a3 = np.zeros(n4, dtype=np.int64)
+    s01 = np.zeros(n4, dtype=np.float32)  # sign pair selectors
+    s0 = np.zeros(n4, dtype=np.float32)
+    s1 = np.zeros(n4, dtype=np.float32)
+    tix = np.zeros(n4, dtype=np.int64)
+    k = np.arange(n4)
+    tix[:] = n2 - 2 * (k + 1)
+    # loop A: k in [0, n8/2): r0 = in[n2+n4-4k-2] + in[n2+n4+4k+1]
+    #                         r1 = in[n2+n4-4k-4] + in[n2+n4+4k+3]
+    kA = np.arange(n8 // 2)
+    a0[kA] = n2 + n4 - 4 * kA - 2
+    a1[kA] = n2 + n4 + 4 * kA + 1
+    a2[kA] = n2 + n4 - 4 * kA - 4
+    a3[kA] = n2 + n4 + 4 * kA + 3
+    s0[kA] = 1.0
+    s1[kA] = 1.0
+    # loop B: k in [n8/2, (n2-n8)/2): x1 rebased to in+1
+    kB = np.arange(n8 // 2, (n2 - n8) // 2)
+    j = kB - n8 // 2
+    a0[kB] = n2 + n4 - 4 * kB - 2
+    a1[kB] = 1 + 4 * j
+    a2[kB] = n2 + n4 - 4 * kB - 4
+    a3[kB] = 3 + 4 * j
+    s0[kB] = 1.0
+    s1[kB] = -1.0
+    # loop C: k in [(n2-n8)/2, n4): x0 rebased to in+n
+    kC = np.arange((n2 - n8) // 2, n4)
+    m = kC - (n2 - n8) // 2
+    j = kC - n8 // 2
+    a0[kC] = n - 4 * m - 2
+    a1[kC] = 1 + 4 * j
+    a2[kC] = n - 4 * m - 4
+    a3[kC] = 3 + 4 * j
+    s0[kC] = -1.0
+    s1[kC] = -1.0
+    scale = np.float32(4.0 / n)
+    return dict(a0=a0, a1=a1, a2=a2, a3=a3, s0=s0, s1=s1, tix=tix,
+                scale=scale)
+
+
+def mdct_forward(x, n: int, xp=np):
+    """Forward MDCT, batched: (..., n) windowed PCM -> (..., n//2)
+    spectrum, reference-exact float32."""
+    tblB = _imdct_index_tables(n)
+    tblF = _mdct_forward_index_tables(n)
+    T = xp.asarray(tblB["T"])
+    n2, n4 = n >> 1, n >> 2
+
+    r0 = tblF["s0"] * x[..., tblF["a0"]] + tblF["s1"] * x[..., tblF["a1"]]
+    r1 = tblF["s0"] * x[..., tblF["a2"]] + tblF["s1"] * x[..., tblF["a3"]]
+    Tc = T[tblF["tix"]]
+    Ts = T[tblF["tix"] + 1]
+    w_e = r1 * Ts + r0 * Tc
+    w_o = r1 * Tc - r0 * Ts
+    y = xp.stack([w_e, w_o], axis=-1).reshape(x.shape[:-1] + (n2,))
+
+    # butterfly cascade + bitreverse rotation (shared with imdct)
+    for P, tc in tblB["stages"]:
+        nblk = n2 // P
+        yv = y.reshape(y.shape[:-1] + (nblk, P))
+        lo = yv[..., :P // 2]
+        hi = yv[..., P // 2:]
+        new_hi = hi + lo
+        rr0 = hi[..., 0::2] - lo[..., 0::2]
+        rr1 = hi[..., 1::2] - lo[..., 1::2]
+        Tcs = T[tc]
+        Tss = T[tc + 1]
+        lo_e = rr1 * Tss + rr0 * Tcs
+        lo_o = rr1 * Tcs - rr0 * Tss
+        new_lo = xp.stack([lo_e, lo_o], axis=-1).reshape(lo.shape)
+        y = xp.concatenate([new_lo, new_hi], axis=-1).reshape(y.shape)
+    nblk = n2 // 32
+    y = _bf32(y.reshape(y.shape[:-1] + (nblk, 32)), xp).reshape(y.shape)
+
+    half = np.float32(0.5)
+    a0v = y[..., tblB["e0"]]
+    a1v = y[..., tblB["e0"] + 1]
+    b0v = y[..., tblB["e1"]]
+    b1v = y[..., tblB["e1"] + 1]
+    Tc = T[tblB["tC"]]
+    Ts = T[tblB["tC"] + 1]
+    rr0 = a1v - b1v
+    rr1 = a0v + b0v
+    rr2 = rr1 * Tc + rr0 * Ts
+    rr3 = rr1 * Ts - rr0 * Tc
+    r0h = half * (a1v + b1v)
+    r1h = half * (a0v - b0v)
+    lo = xp.stack([r0h + rr2, r1h + rr3], axis=-1).reshape(y.shape[:-1] + (n4,))
+    hi = xp.stack([r0h - rr2, rr3 - r1h], axis=-1)
+    hi = hi[..., ::-1, :].reshape(y.shape[:-1] + (n4,))
+    w = xp.concatenate([lo, hi], axis=-1)
+
+    # final rotation: out[i] and out[n2-1-i]
+    scale = tblF["scale"]
+    w0 = w[..., 0::2]
+    w1 = w[..., 1::2]
+    tD = tblB["tD"]
+    Tc = T[tD]
+    Ts = T[tD + 1]
+    front = (w0 * Tc + w1 * Ts) * scale
+    back = (w0 * Ts - w1 * Tc) * scale
+    return xp.concatenate([front, back[..., ::-1]], axis=-1)
