@@ -223,11 +223,45 @@ def transcribe_books_and_modes():
     print(f"books.npz: {len(meta)} codebooks; modes.json.gz: {len(slim)} tables")
 
 
+
+
+def transcribe_psy_tables():
+    """Numeric psy tuning tables from lib/masking.h and lib/psy.c tops
+    (ATH, empirical tone-mask curves, aoTuV presets)."""
+    ns = parse_c_tables([os.path.join(REF, "lib", "masking.h"),
+                         os.path.join(REF, "lib", "psy.c")])
+    out = {}
+    out["ATH"] = np.array(ns["ATH"]["value"], dtype=np.float32)
+    tm = ns["tonemasks"]["value"]
+    out["tonemasks"] = np.array(tm, dtype=np.float32)  # (17, 6, 56)
+    assert out["tonemasks"].shape == (17, 6, 56)
+    for nm in ("m3n32", "m3n44", "m3n48", "m3n32x2", "m3n44x2", "m3n48x2"):
+        out[nm] = np.array(ns[nm]["value"], dtype=np.int32)
+    out["ntfix_offset"] = np.array(ns["ntfix_offset"]["value"],
+                                   dtype=np.float32)
+    out["stn_compand"] = np.array(ns["stn_compand"]["value"],
+                                  dtype=np.float32)
+    out["freq_bfn128"] = np.array(ns["freq_bfn128"]["value"], dtype=np.int32)
+    out["freq_bfn256"] = np.array(ns["freq_bfn256"]["value"], dtype=np.int32)
+    out["stereo_threshholds"] = np.array(
+        ns["stereo_threshholds"]["value"], dtype=np.float64)
+    out["stereo_threshholds_X"] = np.array(
+        ns["stereo_threshholds_X"]["value"], dtype=np.float64)
+    ap = ns["set_aotuv_psy"]["value"]  # 12 x {endp, thres, min_nn_lp, tonefix}
+    out["aotuv_preset"] = np.array(
+        [[e[0], 0, e[2], e[3]] for e in ap], dtype=np.int32)
+    out["aotuv_preset_thres"] = np.array([e[1] for e in ap],
+                                         dtype=np.float32)
+    np.savez_compressed(os.path.join(OUT, "psy_tables.npz"), **out)
+    print(f"psy_tables.npz: ATH[{len(out['ATH'])}], tonemasks, presets")
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     transcribe_windows()
     transcribe_floor_tables()
     transcribe_books_and_modes()
+    transcribe_psy_tables()
 
 
 if __name__ == "__main__":

@@ -45,27 +45,45 @@ def unitnorm(x, xp=np):
                           jnp.uint32(0x3F800000)).view(jnp.float32)
 
 
-# Init-time scalar versions (double math then use; match C promotion)
-def toBARK(n: float) -> float:
+# Init-time scalar versions.  The C macros use f-suffixed float
+# constants promoted into double expressions (scales.h); reproduce the
+# float32-rounded constant values exactly.
+_C = lambda v: float(np.float32(v))
+
+
+def toBARK(n) -> float:
+    """C macro semantics: with an integer argument, each atan argument
+    is a float-const*int product computed (and rounded) in float32;
+    the atans and the final sum are double."""
     import math
-    return (13.1 * math.atan(0.00074 * n)
-            + 2.24 * math.atan(n * n * 1.85e-8) + 1e-4 * n)
+    if isinstance(n, (int, np.integer)):
+        # float-const * int: the int converts to float32 first, then a
+        # single-precision multiply
+        nf = np.float32(int(n))
+        a1 = float(np.float32(0.00074) * nf)
+        a2 = float(np.float32(np.float32(int(n) * int(n)))
+                   * np.float32(1.85e-8))
+        a3 = float(np.float32(1e-4) * nf)
+        return (_C(13.1) * math.atan(a1) + _C(2.24) * math.atan(a2) + a3)
+    return (_C(13.1) * math.atan(_C(0.00074) * n)
+            + _C(2.24) * math.atan(n * n * _C(1.85e-8)) + _C(1e-4) * n)
 
 
 def fromBARK(z: float) -> float:
-    return 102.0 * z - 2.0 * z ** 2 + 0.4 * z ** 3 + 1.46 ** z - 1.0
+    return (_C(102.0) * z - _C(2.0) * z ** 2 + _C(0.4) * z ** 3
+            + _C(1.46) ** z - _C(1.0))
 
 
 def toOC(n: float) -> float:
     import math
-    return math.log(n) * 1.442695 - 5.965784
+    return math.log(n) * _C(1.442695) - _C(5.965784)
 
 
 def fromOC(o: float) -> float:
     import math
-    return math.exp((o + 5.965784) * 0.693147)
+    return math.exp((o + _C(5.965784)) * _C(0.693147))
 
 
 def fromdB(x: float) -> float:
     import math
-    return math.exp(x * 0.11512925)
+    return math.exp(x * _C(0.11512925))
