@@ -769,3 +769,649 @@ def _max_seeds(p: PsyLook, seed, flr):
             linpos += 1
     minV = seed[p.total_octave_lines - 1]
     flr[linpos:] = np.maximum(flr[linpos:], minV)
+
+
+# ---------------------------------------------------------------------------
+# offset & mix (aoTuV M1 / M3 / M4)
+# ---------------------------------------------------------------------------
+
+class Mod3State:
+    __slots__ = ("sw", "mdctbuf_flag", "noise_rate", "noise_rate_low",
+                 "noise_center", "tone_rate")
+
+    def __init__(self):
+        self.sw = 0
+        self.mdctbuf_flag = 0
+        self.noise_rate = f32(0.0)
+        self.noise_rate_low = f32(0.0)
+        self.noise_center = f32(0.0)
+        self.tone_rate = f32(0.0)
+
+
+def _set_m3p(mp, lW_no, impadnum, n, hs_rate, toneatt, logmdct, lastmdct,
+             tempmdct, block_mode, lW_block_mode, bit_managed,
+             offset_select):
+    """aoTuV M3 preparation: sets impulse noise-control parameters and
+    maintains the tempmdct echo buffer (reference: psy.c set_m3p)."""
+    t = _tables()
+    if not hs_rate:
+        mp.sw = 0
+        mp.mdctbuf_flag = 0
+        return
+    if (not bit_managed) or offset_select == 2:
+        mp.mdctbuf_flag = 1
+    else:
+        mp.mdctbuf_flag = 0
+        if offset_select == 0:
+            mp.sw = 0
+            return
+    if block_mode:
+        mp.sw = 0
+        return
+
+    if n == 128:
+        bfn = t["freq_bfn128"]
+        count = 2 if toneatt < 3 else 3
+        if not lW_block_mode:
+            if lW_no < 8:
+                mp.noise_rate = f32(0.7 - np.float64(
+                    f32(np.float32(lW_no - 1) / np.float32(17))))
+                mp.noise_center = f32(lW_no * count)
+                mp.tone_rate = f32(8 - lW_no)
+            else:
+                mp.noise_rate = f32(0.3)
+                mp.noise_center = f32(25)
+                mp.tone_rate = f32(0)
+                if (lW_no * count) < 24:
+                    mp.noise_center = f32(lW_no * count)
+            if mp.mdctbuf_flag == 1:
+                tempmdct[:n] -= f32(5)
+        else:
+            mp.noise_rate = f32(0.7)
+            mp.noise_center = f32(0)
+            mp.tone_rate = f32(8.0)
+            if mp.mdctbuf_flag == 1:
+                tempmdct[:n] = lastmdct[:n] - f32(5)
+        mp.noise_rate_low = f32(0)
+        mp.sw = 1
+        if impadnum:
+            mp.noise_rate = f32(np.float64(mp.noise_rate)
+                                * (impadnum * 0.125))
+        _m3_tempmdct_update(n, bfn, logmdct, tempmdct, mp.mdctbuf_flag,
+                            f32(5.0))
+    elif n == 256:
+        bfn = t["freq_bfn256"]
+        if not lW_block_mode:
+            count = 6
+            if lW_no < 4:
+                mp.noise_rate = f32(0.4 - np.float64(
+                    f32(np.float32(lW_no - 1) / np.float32(11))))
+                mp.noise_center = f32(lW_no * count + 12)
+                mp.tone_rate = f32(8 - lW_no * 2)
+            else:
+                mp.noise_rate = f32(0.2)
+                mp.noise_center = f32(30)
+                mp.tone_rate = f32(0)
+            if mp.mdctbuf_flag == 1:
+                tempmdct[:n] -= f32(10)
+        else:
+            mp.noise_rate = f32(0.6)
+            mp.noise_center = f32(12)
+            mp.tone_rate = f32(8.0)
+            if mp.mdctbuf_flag == 1:
+                tempmdct[:n] = lastmdct[:n] - f32(10)
+        mp.noise_rate_low = f32(0)
+        mp.sw = 1
+        if impadnum:
+            mp.noise_rate = f32(np.float64(mp.noise_rate)
+                                * (impadnum * 0.0625))
+        _m3_tempmdct_update(n, bfn, logmdct, tempmdct, mp.mdctbuf_flag,
+                            f32(10.0))
+    else:
+        mp.sw = 0
+    if bit_managed and offset_select == 0 and mp.sw:
+        mp.noise_rate = f32(np.float64(mp.noise_rate) * 0.2)
+
+
+def _m3_tempmdct_update(n, bfn, logmdct, tempmdct, flag, base):
+    """Sequential echo-spreading update of tempmdct (loop-carried)."""
+    for i in range(n):
+        nb = int(bfn[i])
+        cell = f32(np.float32(75) / np.float32(nb))
+        for j in range(1, nb):
+            freqbuf = f32(logmdct[i] - f32(cell * np.float32(j)))
+            if tempmdct[i + j] < freqbuf and flag == 1:
+                tempmdct[i + j] = f32(
+                    np.float64(tempmdct[i + j])
+                    + np.float64(base) / np.float64(np.float32(bfn[i + j])))
+
+
+def offset_and_mix(p: PsyLook, noise, tone, offset_select, bit_managed,
+                   mdct, logmdct, lastmdct, tempmdct, low_compand,
+                   npeak, end_block, block_mode, nW_modenumber,
+                   lW_block_mode, lW_no, impadnum):
+    """_vp_offset_and_mix: combine noise+tone masks with aoTuV M1
+    (MDCT scaling), M3 (impulse noise control), M4 (floor boost guard).
+    Mutates mdct, lastmdct, tempmdct, npeak; returns logmask."""
+    n = p.n
+    vi = p.vi
+    hsrate = 0 if p.rate < 26000 else 1
+    partition = vi["normal_partition"] if vi["normal_p"] else 16
+    toneatt = f32(vi["tone_masteratt"][offset_select])
+
+    mp3 = Mod3State()
+    m4_start = vi["normal_start"]
+    m4_end = p.tonecomp_endp
+    m4_thres = f32(p.tonecomp_thres)
+    m4_lp_pos = 9999
+    m4_end_block = end_block
+
+    low_compand = f32(low_compand)
+    if low_compand < 0 or toneatt < 25.0:
+        low_compand = f32(0.0)
+    else:
+        low_compand = f32(np.float64(low_compand)
+                          * (np.float64(toneatt) - 25.0))
+
+    _set_m3p(mp3, lW_no, impadnum, n, hsrate, toneatt, logmdct, lastmdct,
+             tempmdct, block_mode, lW_block_mode, bit_managed,
+             offset_select)
+
+    m4_end_block += vi["normal_partition"]
+    if m4_end_block > n:
+        m4_end_block = n
+    if not hsrate:
+        m4_end = m4_end_block
+    else:
+        if vi["normal_thresh"] > 1.0:
+            m4_start = 9999
+        else:
+            m4_lp_pos = m4_end if m4_end > m4_end_block else m4_end_block
+
+    logmask = np.zeros(n, np.float32)
+    noff = p.noiseoffset[offset_select]
+    nms = f32(vi["noisemaxsupp"])
+    m3n = p.m3n
+    m_val = f32(p.m_val)
+
+    # elementwise base values
+    val_v = (noise + noff).astype(np.float32)
+    np.minimum(val_v, nms, out=val_v)
+    tval_v = (tone + toneatt).astype(np.float32)
+    # low_compand applies to i<=m4_start
+    if low_compand != 0.0 and m4_start >= 0:
+        lim = min(m4_start + 1, n)
+        tval_v[:lim] = tval_v[:lim] - low_compand
+
+    for i in range(n):
+        val = val_v[i]
+        tval = tval_v[i]
+
+        # M3 main: dynamic impulse-block noise control
+        if mp3.sw and val > tval:
+            if val > lastmdct[i] and logmdct[i] > f32(tempmdct[i]
+                                                     + mp3.noise_center):
+                toneac = 0
+                if mp3.mdctbuf_flag == 1:
+                    tempmdct[i] = logmdct[i]
+                if logmdct[i] > lastmdct[i]:
+                    rate_mod = mp3.noise_rate
+                else:
+                    rate_mod = mp3.noise_rate_low
+                if (not impadnum) and i < p.tonecomp_endp \
+                        and f32(val - lastmdct[i]) > 20.0:
+                    dBsub = f32(logmdct[i] - lastmdct[i])
+                    if dBsub > 25.0:
+                        toneac = 1
+                        if tval > -100.0 and f32(logmdct[i] - tval) < 48.0:
+                            tr_cur = mp3.tone_rate
+                            if dBsub < 35.0:
+                                tr_cur = f32(np.float64(tr_cur)
+                                             * np.float64(f32(f32(35.0 - dBsub)
+                                                              * f32(0.1))))
+                            tval = f32(tval - tr_cur)
+                            if tval < -100.0:
+                                tval = f32(-100.0)
+                            if f32(logmdct[i] - tval) > 48.0:
+                                tval = f32(logmdct[i] - f32(48.0))
+                if i > m3n[0]:
+                    mainth = f32(30.0)
+                elif i > m3n[1]:
+                    mainth = f32(20.0)
+                elif i > m3n[2]:
+                    mainth = f32(10.0)
+                    rate_mod = f32(rate_mod * f32(0.5))
+                else:
+                    mainth = f32(10.0)
+                    rate_mod = f32(rate_mod * f32(0.3))
+                if f32(val - tval) > mainth:
+                    valmask = f32(f32(f32(f32(f32(val - tval) - mainth)
+                                          * f32(0.1)) + mainth) * rate_mod)
+                else:
+                    valmask = f32(f32(val - tval) * rate_mod)
+                if f32(val - valmask) > lastmdct[i]:
+                    val = f32(val - valmask)
+                else:
+                    val = lastmdct[i]
+                if toneac:
+                    temp = f32(val - max(lastmdct[i], f32(-140.0)))
+                    if temp > 20.0:
+                        val = f32(val - f32(f32(temp - f32(20.0))
+                                            * f32(0.2)))
+                if toneac == 1:
+                    npeak[i // partition] = -1.0
+                elif npeak[i // partition] > 0:
+                    npeak[i // partition] = 0.0
+
+        # M4: floor boost guard
+        if val > tval:
+            logmask[i] = val
+        elif m4_start < i < m4_end:
+            if logmdct[i] < tval:
+                if logmdct[i] < val:
+                    tval = f32(tval - f32(f32(tval - val) * m4_thres))
+                else:
+                    tval = logmdct[i]
+            logmask[i] = tval
+        else:
+            logmask[i] = tval
+
+        # M1: relative MDCT compensation
+        if offset_select == 1:
+            m1_coeffi = f32(-17.2)
+            val = f32(val - logmdct[i])
+            if val > m1_coeffi:
+                m1_de = f32(1.0 - (np.float64(f32(val - m1_coeffi))
+                                   * 0.005 * np.float64(m_val)))
+                if m1_de < 0:
+                    m1_de = f32(0.0001)
+            else:
+                m1_de = f32(1.0 - (np.float64(f32(val - m1_coeffi))
+                                   * 0.0003 * np.float64(m_val)))
+            mdct[i] = f32(mdct[i] * m1_de)
+
+    # M3: set lastmdct for the next frame
+    if mp3.mdctbuf_flag == 1:
+        mag = 8
+        if block_mode in (0, 1):
+            if nW_modenumber:
+                lastmdct[:n * mag] = np.repeat(logmdct[:n], mag)
+            else:
+                lastmdct[:n] = logmdct[:n]
+        elif block_mode == 2:
+            if not nW_modenumber:
+                nsh = n >> 3
+                lastmdct[:nsh] = np.min(
+                    logmdct[:nsh * mag].reshape(nsh, mag), axis=1)
+            else:
+                lastmdct[:n] = logmdct[:n]
+        elif block_mode == 3:
+            lastmdct[:n] = logmdct[:n]
+    return logmask
+
+
+# ---------------------------------------------------------------------------
+# coupling / quantization / noise normalization (reference:
+# _vp_couple_quantize_normalize and helpers)
+# ---------------------------------------------------------------------------
+
+def _flag_lossless(limit, prepoint, postpoint, prepoint_r, postpoint_r,
+                   res, mdct_seg, enpeak_seg, floor_seg, flag, i, jn):
+    pointlimit = limit - i
+    ps = 0
+    ps1 = ps2 = f32(0.0)
+    if pointlimit > 0:
+        point1 = prepoint
+        point2 = prepoint_r
+        if (pointlimit - jn) <= 0:
+            ps1 = f32(f32(postpoint - prepoint) / np.float32(jn))
+            ps2 = f32(f32(postpoint_r - prepoint_r) / np.float32(jn))
+            ps = 1
+    else:
+        point1 = postpoint
+        point2 = postpoint_r
+    for j in range(jn):
+        if ps == 1:
+            point1 = f32(point1 + ps1)
+            point2 = f32(point2 + ps2)
+        bakp1 = point1
+        res[j] = f32(mdct_seg[j] / floor_seg[j])
+        r = abs(float(res[j]))
+        point1 = f32(point1 - enpeak_seg[j])
+        if point1 < prepoint:
+            point1 = prepoint
+        if r < point1:
+            flag[j] = 0 if r < point2 else -1
+        else:
+            flag[j] = 1
+        point1 = bakp1
+
+
+def _lossless_coupling_i(A, B):
+    if abs(A) > abs(B):
+        ang = A - B if A > 0 else B - A
+        mag = A
+    else:
+        ang = A - B if B > 0 else B - A
+        mag = B
+    if ang >= abs(mag) * 2:
+        ang = -ang
+        mag = -mag
+    return mag, ang
+
+
+def _lossless_coupling_f(A, B):
+    if abs(float(A)) > abs(float(B)):
+        ang = f32(A - B) if A > 0 else f32(B - A)
+        mag = A
+    else:
+        ang = f32(A - B) if B > 0 else f32(B - A)
+        mag = B
+    if float(ang) >= abs(float(mag)) * 2:
+        ang = f32(-ang)
+        mag = f32(-mag)
+    return mag, ang
+
+
+def _min_indemnity_dipole_hypot(a, b, threv):
+    thnor = f32(0.94)
+    a2 = f32(abs(f32(a * thnor)))
+    b2 = f32(abs(f32(b * thnor)))
+    if a > 0.0:
+        if b > 0.0:
+            return f32(a2 + b2)
+        if a > -b:
+            return f32(a2 - f32(b2 * threv))
+        return f32(-(f32(b2 - f32(a2 * threv))))
+    if b < 0.0:
+        return f32(-(f32(a2 + b2)))
+    if -a > b:
+        return f32(-(f32(a2 - f32(b2 * threv))))
+    return f32(b2 - f32(a2 * threv))
+
+
+def _ssort_indices(vals, count, bthresh):
+    """Replicates the reference's partial selection sort over pointers:
+    after the call, order[k] for k<bthresh hold the largest values in
+    descending order (first-found wins ties); the rest are the partially
+    swapped remainder.  Returns the full order list."""
+    order = list(range(count))
+    if count < bthresh:
+        bthresh = count
+    for i in range(bthresh):
+        large = i
+        for j in range(i + 1, count):
+            if vals[order[large]] < vals[order[j]]:
+                large = j
+        order[i], order[large] = order[large], order[i]
+    return order
+
+
+def _noise_normalize(p: PsyLook, limit, r, q, f, res, flags, acc, nepeak,
+                     i, n, out):
+    """reference: noise_normalize.  Mutates q, res, out; returns acc."""
+    vi = p.vi
+    start = (vi["normal_start"] - i) if vi["normal_p"] else n
+    if start > n or nepeak < -0.5:
+        start = n
+    acc = f32(0.0)
+    sort_idx = []
+    j = 0
+    if flags is None:
+        while j < start:
+            out[j] = int(np.rint(np.float64(res[j])))
+            j += 1
+    else:
+        while j < start:
+            if flags[j] != 1:
+                ve = f32(math.sqrt(np.float64(f32(q[j] / f[j]))))
+                if r[j] < 0:
+                    out[j] = -int(np.rint(np.float64(ve)))
+                    res[j] = f32(-ve)
+                else:
+                    out[j] = int(np.rint(np.float64(ve)))
+                    res[j] = ve
+            j += 1
+
+    if flags is not None:
+        while j < n:
+            if flags[j] != 1:
+                ve = f32(q[j] / f[j])
+                if ve < 0.25 and j >= limit - i:
+                    acc = f32(acc + ve)
+                    sort_idx.append(j)
+                    sv = f32(math.sqrt(np.float64(ve)))
+                    res[j] = f32(-sv) if r[j] < 0 else sv
+                else:
+                    ve = f32(math.sqrt(np.float64(ve)))
+                    if r[j] < 0:
+                        out[j] = -int(np.rint(np.float64(ve)))
+                        res[j] = f32(-ve)
+                    else:
+                        out[j] = int(np.rint(np.float64(ve)))
+                        res[j] = ve
+                    q[j] = f32(f32(np.float32(out[j]) * np.float32(out[j]))
+                               * f[j])
+            j += 1
+    else:
+        while j < n:
+            ve = f32(res[j] * res[j])
+            if ve < 0.25:
+                acc = f32(acc + ve)
+                sort_idx.append(j)
+            else:
+                out[j] = int(np.rint(np.float64(res[j])))
+                q[j] = f32(f32(np.float32(out[j]) * np.float32(out[j]))
+                           * f[j])
+            j += 1
+
+    acc = f32(acc + f32(f32(acc * nepeak) * nepeak))
+
+    count = len(sort_idx)
+    if count:
+        iacc = int(acc) + 1
+        if iacc > n:
+            iacc = n
+        order = _ssort_indices([float(q[e]) for e in sort_idx], count, iacc)
+        thresh = vi["normal_thresh"]
+        for k in range(count):
+            e = sort_idx[order[k]]
+            if acc >= thresh:
+                out[e] = int(unitnorm(f32(r[e])))
+                acc = f32(acc - 1.0)
+                q[e] = f[e]
+            else:
+                out[e] = 0
+                q[e] = f32(0.0)
+    return acc
+
+
+def couple_quantize_normalize(blobno, g, p: PsyLook, mapping, mdct,
+                              enpeak, nepeak, iwork, nonzero,
+                              sliding_lowpass, ch, lowpassr):
+    """reference: _vp_couple_quantize_normalize.  iwork holds the floor
+    indices on input (ilogmask) and the quantized residue ints on
+    output; nonzero and nepeak are updated in place."""
+    t = _tables()
+    fromdB = _fromdB_lookup()
+    st = t["stereo_threshholds"]
+    stX = t["stereo_threshholds_X"]
+    n = p.n
+    vi = p.vi
+    partition = vi["normal_partition"] if vi["normal_p"] else 16
+    limit = g["coupling_pointlimit"][vi["blockflag"]][blobno]
+    prepoint = f32(st[g["coupling_prepointamp"][blobno]])
+    postpoint = f32(st[g["coupling_postpointamp"][blobno]])
+    prepoint_x = f32(stX[g["coupling_prepointamp"][blobno]])
+    postpoint_x = f32(stX[g["coupling_postpointamp"][blobno]])
+    steps = mapping.coupling_steps
+
+    if prepoint_x < prepoint:
+        prepoint_x = prepoint
+    if postpoint_x < prepoint:
+        postpoint_x = prepoint
+
+    side_resdef = [f32(-1.0)] * steps
+    prae = 0.34 if steps == 1 else 0.825
+
+    raw = np.zeros((ch, partition), np.float32)
+    quant = np.zeros((ch, partition), np.float32)
+    floor_e = np.zeros((ch, partition), np.float32)
+    res = np.zeros((ch, partition), np.float32)
+    flag = np.zeros((ch, partition), np.int64)
+
+    i = 0
+    pi = 0
+    while i < lowpassr:
+        jn = partition if partition <= n - i else n - i
+        nz = list(nonzero)
+        track = 0
+        flag[:] = 0
+        for k in range(ch):
+            iout = iwork[k]
+            if nz[k]:
+                for j in range(jn):
+                    floor_e[k][j] = fromdB[iout[i + j]]
+                _flag_lossless(limit, prepoint, postpoint, prepoint_x,
+                               postpoint_x, res[k], mdct[k][i:],
+                               enpeak[k][i:], floor_e[k], flag[k], i, jn)
+                for j in range(jn):
+                    v = f32(mdct[k][i + j] * mdct[k][i + j])
+                    quant[k][j] = v
+                    raw[k][j] = f32(-v) if mdct[k][i + j] < 0.0 else v
+                    floor_e[k][j] = f32(floor_e[k][j] * floor_e[k][j])
+                outview = iout[i:i + jn]
+                _noise_normalize(p, limit, raw[k], quant[k], floor_e[k],
+                                 res[k], None, f32(0.0), nepeak[k][pi], i,
+                                 jn, outview)
+            else:
+                floor_e[k][:jn] = 1e-10
+                raw[k][:jn] = 0.0
+                quant[k][:jn] = 0.0
+                res[k][:jn] = 0.0
+                flag[k][:jn] = 0
+                iwork[k][i:i + jn] = 0
+            track += 1
+
+        for step in range(steps):
+            Mi = mapping.coupling_mag[step]
+            Ai = mapping.coupling_ang[step]
+            if not (nz[Mi] or nz[Ai]):
+                continue
+            nz[Mi] = nz[Ai] = 1
+            iM = iwork[Mi]
+            iA = iwork[Ai]
+            reM, reA = raw[Mi], raw[Ai]
+            qeM, qeA = quant[Mi], quant[Ai]
+            floorM, floorA = floor_e[Mi], floor_e[Ai]
+            resM, resA = res[Mi], res[Ai]
+            fM, fA = flag[Mi], flag[Ai]
+            pointflag = 0
+
+            # M6: dynamic lossless promotion
+            if p.tonefix_end > i:
+                rp = pp = 0
+                residue_def = 0.0
+                for j in range(jn):
+                    if (resM[j] < -0.5 or resM[j] >= 0.5
+                            or resA[j] < -0.5 or resA[j] >= 0.5):
+                        if ((reM[j] > 0.0 and reA[j] < 0.0)
+                                or (reA[j] > 0.0 and reM[j] < 0.0)):
+                            rp += 1
+                        else:
+                            pp += 1
+                        residue_def = f32(residue_def
+                                          + f32(abs(f32(abs(float(resM[j]))
+                                                        - abs(float(resA[j]))))))
+                ap = rp + pp
+                if ap != 0:
+                    temp_def = residue_def = f32(residue_def
+                                                 / np.float32(ap))
+                    if side_resdef[step] > 0:
+                        residue_def = f32(np.float64(temp_def) * 0.5
+                                          + np.float64(side_resdef[step])
+                                          * 0.5)
+                    side_resdef[step] = temp_def
+                    if residue_def > 1.0:
+                        for j in range(jn):
+                            if fM[j] == -1 or fA[j] == -1:
+                                fM[j] = 1
+                    if np.float32(rp) / np.float32(ap) >= prae:
+                        for j in range(jn):
+                            if (fM[j] == -1 or fA[j] == -1) and (
+                                    (reM[j] > 0.0 and reA[j] < 0.0)
+                                    or (reA[j] > 0.0 and reM[j] < 0.0)):
+                                fM[j] = 1
+                else:
+                    side_resdef[step] = f32(-1.0)
+
+            for j in range(jn):
+                if j < sliding_lowpass - i:
+                    if fM[j] == 1 or fA[j] == 1:
+                        # lossless coupling
+                        reM[j] = f32(abs(float(reM[j]))
+                                     + abs(float(reA[j])))
+                        qeM[j] = f32(qeM[j] + qeA[j])
+                        fM[j] = fA[j] = 1
+                        resM[j], resA[j] = _lossless_coupling_f(
+                            resM[j], resA[j])
+                        iM[i + j], iA[i + j] = _lossless_coupling_i(
+                            int(iM[i + j]), int(iA[i + j]))
+                    else:
+                        # lossy (point) coupling
+                        if steps == 1 or step == 3:
+                            hpL, hpH = f32(0.18), f32(0.12)
+                        else:
+                            hpL, hpH = f32(0.18), f32(0.04)
+                        if j < limit - i:
+                            reM[j] = _min_indemnity_dipole_hypot(
+                                reM[j], reA[j], hpL)
+                        else:
+                            reM[j] = _min_indemnity_dipole_hypot(
+                                reM[j], reA[j], hpH)
+                        qeM[j] = f32(abs(float(reM[j])))
+                        reA[j] = qeA[j] = 0.0
+                        fA[j] = 1
+                        iA[i + j] = 0
+                        resA[j] = 0.0
+                        if nepeak[Mi][pi] < -0.5 or nepeak[Ai][pi] < -0.5:
+                            nepeak[Mi][pi] = -1.0
+                        else:
+                            nepeak[Mi][pi] = min(nepeak[Mi][pi],
+                                                 nepeak[Ai][pi])
+                        pointflag |= 1
+                floorM[j] = floorA[j] = f32(floorM[j] + floorA[j])
+            if pointflag:
+                _noise_normalize(p, limit, raw[Mi], quant[Mi],
+                                 floor_e[Mi], res[Mi], flag[Mi],
+                                 f32(0.0), nepeak[Mi][pi], i, jn,
+                                 iM[i:i + jn])
+            track += 1
+        i += partition
+        pi += 1
+
+    if lowpassr < n:
+        for k in range(ch):
+            iwork[k][lowpassr:n] = 0
+
+    for step in range(steps):
+        if nonzero[mapping.coupling_mag[step]] \
+                or nonzero[mapping.coupling_ang[step]]:
+            nonzero[mapping.coupling_mag[step]] = 1
+            nonzero[mapping.coupling_ang[step]] = 1
+
+
+@lru_cache(maxsize=1)
+def _fromdB_lookup():
+    return dict(np.load(os.path.join(_DATA, "floor_tables.npz")))[
+        "fromdB_lookup"]
+
+
+def ampmax_decay(amp, rate, n2, att_per_sec):
+    """reference: _vp_ampmax_decay — decay the running amplitude cap by
+    ampmax_att_per_sec over one block hop."""
+    secs = f32(np.float32(n2) / np.float32(rate))
+    amp = f32(amp + f32(secs * f32(att_per_sec)))
+    if amp < -9999:
+        amp = f32(-9999)
+    return amp
