@@ -257,8 +257,15 @@ def build_reflib():
     import subprocess
     if os.path.exists(REFLIB_PATH):
         return REFLIB_PATH
-    raise RuntimeError(
-        "reference oracle lib missing; build via tools/build_reflib.sh")
+    script = os.path.join(os.path.dirname(__file__), "..", "tools",
+                          "build_reflib.sh")
+    ref = os.environ.get("VORBIS_REF", "/root/reference")
+    if not os.path.isdir(ref):
+        raise RuntimeError("reference tree not available; cannot build "
+                           "oracle lib")
+    subprocess.run(["sh", script], check=True,
+                   capture_output=True, text=True)
+    return REFLIB_PATH
 
 
 class RefLib:

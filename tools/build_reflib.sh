@@ -24,3 +24,7 @@ done
 gcc -shared -Wl,-Bsymbolic -o libvorbisref.so $OBJS \
     /usr/lib/x86_64-linux-gnu/libogg.so.0 -lm
 echo built $OUT/libvorbisref.so
+# a non -Bsymbolic variant for the clean-subprocess golden encoder
+gcc -shared -o libvorbisref_nosym.so $OBJS \
+    /usr/lib/x86_64-linux-gnu/libogg.so.0 -lm
+echo built $OUT/libvorbisref_nosym.so

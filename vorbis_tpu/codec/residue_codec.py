@@ -176,3 +176,199 @@ def _res2_decode(r: BitReader, look: ResidueLook, flat: np.ndarray,
                 k += 1
                 i += 1
             l += 1
+
+
+# ---------------------------------------------------------------------------
+# encode side (reference: res0.c _01class/_2class/_01forward/_encodepart/
+# local_book_besterror; encoder book fields per sharedbook.c
+# vorbis_book_init_encode)
+# ---------------------------------------------------------------------------
+
+def _enc_book_fields(book):
+    """minval/delta/quantvals for the integer lattice fast path."""
+    if not hasattr(book, "_enc_fields"):
+        from .codebook import float32_unpack, maptype1_quantvals
+        sb = book.sb
+        minval = int(np.rint(np.float64(float32_unpack(sb.q_min))))
+        delta = int(np.rint(np.float64(float32_unpack(sb.q_delta))))
+        qv = maptype1_quantvals(sb.entries, sb.dim)
+        book._enc_fields = (minval, delta, qv)
+    return book._enc_fields
+
+
+def local_book_besterror(book, a, off):
+    """Nearest-entry search with error feed-forward: quantizes a[off:
+    off+dim] in place (subtracting the chosen entry's values) and
+    returns the entry index."""
+    dim = book.dim
+    minval, delta, qv = _enc_book_fields(book)
+    ze = qv >> 1
+    index = 0
+    p = [0] * dim
+    for o in range(dim - 1, -1, -1):
+        if delta != 1:
+            v = (int(a[off + o]) - minval + (delta >> 1)) // delta \
+                if (int(a[off + o]) - minval + (delta >> 1)) >= 0 else \
+                -((-(int(a[off + o]) - minval + (delta >> 1))) // delta)
+        else:
+            v = int(a[off + o]) - minval
+        m = ((ze - v) << 1) - 1 if v < ze else ((v - ze) << 1)
+        index = index * qv + (0 if m < 0 else (qv - 1 if m >= qv else m))
+        p[o] = v * delta + minval
+    if book.lengths[index] <= 0:
+        # lattice miss: brute-force scan following the vq tool's value
+        # patterning
+        best = -1
+        e = [0] * dim
+        maxval = minval + delta * (qv - 1)
+        for i in range(book.entries):
+            if book.lengths[i] > 0:
+                this = 0
+                for j in range(dim):
+                    val = e[j] - int(a[off + j])
+                    this += val * val
+                if best == -1 or this < best:
+                    p = list(e)
+                    best = this
+                    index = i
+            j = 0
+            while e[j] >= maxval:
+                e[j] = 0
+                j += 1
+            if e[j] >= 0:
+                e[j] += delta
+            e[j] = -e[j]
+    if index > -1:
+        for i in range(dim):
+            a[off + i] -= p[i]
+    return index
+
+
+def encodepart(w, vec, off, n, book):
+    step = n // book.dim
+    for i in range(step):
+        entry = local_book_besterror(book, vec, off + i * book.dim)
+        book.encode(w, entry)
+
+
+def res01_class(look: ResidueLook, in_ch, ch):
+    info = look.info
+    spp = info.grouping
+    n = info.end - info.begin
+    partvals = n // spp
+    scale = np.float32(100.0) / np.float32(spp)
+    partword = np.zeros((ch, partvals), dtype=np.int64)
+    cm1 = info.classmetric1
+    cm2 = info.classmetric2
+    for j in range(ch):
+        seg = np.abs(np.asarray(in_ch[j][info.begin:info.begin
+                                         + partvals * spp],
+                                dtype=np.int64)).reshape(partvals, spp)
+        mx = seg.max(axis=1)
+        ent = (seg.sum(axis=1).astype(np.float64)
+               * np.float64(scale)).astype(np.int64)
+        for i in range(partvals):
+            k = 0
+            while k < info.partitions - 1:
+                if mx[i] <= cm1[k] and (cm2[k] < 0 or ent[i] < cm2[k]):
+                    break
+                k += 1
+            partword[j][i] = k
+    return partword
+
+
+def res2_class(look: ResidueLook, in_ch, ch):
+    info = look.info
+    spp = info.grouping
+    n = info.end - info.begin
+    partvals = n // spp
+    partword = np.zeros((1, partvals), dtype=np.int64)
+    cm1 = info.classmetric1
+    cm2 = info.classmetric2
+    l = info.begin // ch
+    for i in range(partvals):
+        magmax = 0
+        angmax = 0
+        for j in range(0, spp, ch):
+            v = abs(int(in_ch[0][l]))
+            if v > magmax:
+                magmax = v
+            for k in range(1, ch):
+                v = abs(int(in_ch[k][l]))
+                if v > angmax:
+                    angmax = v
+            l += 1
+        j = 0
+        while j < info.partitions - 1:
+            if magmax <= cm1[j] and angmax <= cm2[j]:
+                break
+            j += 1
+        partword[0][i] = j
+    return partword
+
+
+def res01_forward(w, look: ResidueLook, in_ch, ch, partword):
+    """Encode residues (types 0/1 layout; res2 calls with the
+    interleaved single vector)."""
+    info = look.info
+    spp = info.grouping
+    possible = info.partitions
+    ppw = look.dim
+    n = info.end - info.begin
+    partvals = n // spp
+    stages = look.stages
+    for s in range(stages):
+        i = 0
+        while i < partvals:
+            if s == 0:
+                for j in range(ch):
+                    val = int(partword[j][i])
+                    for k in range(1, ppw):
+                        val *= possible
+                        if i + k < partvals:
+                            val += int(partword[j][i + k])
+                    if val < look.phrasebook.entries:
+                        look.phrasebook.encode(w, val)
+            k = 0
+            while k < ppw and i < partvals:
+                offset = i * spp + info.begin
+                for j in range(ch):
+                    cls = int(partword[j][i])
+                    if info.secondstages[cls] & (1 << s):
+                        book = look.partbooks[cls][s]
+                        if book is not None:
+                            encodepart(w, in_ch[j], offset, spp, book)
+                k += 1
+                i += 1
+
+
+def res_forward(w, look: ResidueLook, bundle, nonzero, restype,
+                partword=None):
+    """Top-level residue forward pass for a channel bundle of int
+    residue vectors (numpy int64, mutated by error feed-forward)."""
+    if restype == 2:
+        n2 = len(bundle[0])
+        ch = len(bundle)
+        if not any(nonzero):
+            return
+        work = np.empty(n2 * ch, dtype=np.int64)
+        for i, v in enumerate(bundle):
+            work[i::ch] = v
+        res01_forward(w, look, [work], 1, partword)
+        return
+    used = [bundle[i] for i in range(len(bundle)) if nonzero[i]]
+    if used:
+        res01_forward(w, look, used, len(used), partword)
+
+
+def res_class(look: ResidueLook, bundle, nonzero, restype):
+    if restype == 2:
+        if not any(nonzero):
+            return None
+        # _2class walks the per-channel vectors directly (the
+        # interleave only happens in the forward pass)
+        return res2_class(look, bundle, len(bundle))
+    used = [bundle[i] for i in range(len(bundle)) if nonzero[i]]
+    if not used:
+        return None
+    return res01_class(look, used, len(used))

@@ -84,9 +84,20 @@ def get_setup_template(ch, srate, req, q_or_bitrate):
         if j == mappings:
             base = j - 0.001
         else:
-            low, high = np.float32(mp[j]), np.float32(mp[j + 1])
-            delta = float((np.float32(req) - low) / (high - low))
-            base = j + delta
+            # C: float low=map[j], high=map[j+1];
+            #    float del=(req-low)/(high-low);
+            # req stays double; the division happens in double (low/high
+            # promote) and only the result rounds to f32.
+            # C: float low=map[j], high=map[j+1];
+            #    float del=(req-low)/(high-low);
+            #    *base_setting=j+del;   <- int+float = FLOAT add
+            # req stays double; the division happens in double (low/high
+            # promote), rounds once to f32, and the j+del add rounds to
+            # f32 again (e.g. 6+8.94e-7 -> 6.00000095367431640625).
+            low = float(np.float32(mp[j]))
+            high = float(np.float32(mp[j + 1]))
+            delta = np.float32((req - low) / (high - low))
+            base = float(np.float32(np.float32(j) + delta))
         return tpl, base
     return None, None
 
@@ -98,7 +109,9 @@ def _interp(arr, s, get=lambda a, i: a[i]):
 
 
 def setup_vbr(ch: int, rate: int, quality: float) -> EncoderSetup:
-    quality += 0.0000001
+    # C: float quality; quality+=.0000001; (float add, rounds to f32)
+    quality = float(np.float32(np.float64(np.float32(quality))
+                               + 0.0000001))
     if quality >= 1.0:
         quality = 0.9999
     tpl, base = get_setup_template(ch, rate, quality, 0)
@@ -272,12 +285,16 @@ def _psy_global_setup(tpl, hi):
         is_ -= 1
         ds = 1.0
     gp = tpl.global_params
+    # preecho/postecho_thresh are C float fields: the double interp
+    # rounds once on store (vorbisenc.c:249-252).
     for i in range(4):
-        g["preecho_thresh"][i] = (gp[is_].preecho_thresh[i] * (1.0 - ds)
-                                  + gp[is_ + 1].preecho_thresh[i] * ds)
-        g["postecho_thresh"][i] = (gp[is_].postecho_thresh[i] * (1.0 - ds)
-                                   + gp[is_ + 1].postecho_thresh[i] * ds)
-    g["ampmax_att_per_sec"] = hi.amplitude_track_dBpersec
+        g["preecho_thresh"][i] = float(np.float32(
+            gp[is_].preecho_thresh[i] * (1.0 - ds)
+            + gp[is_ + 1].preecho_thresh[i] * ds))
+        g["postecho_thresh"][i] = float(np.float32(
+            gp[is_].postecho_thresh[i] * (1.0 - ds)
+            + gp[is_ + 1].postecho_thresh[i] * ds))
+    g["ampmax_att_per_sec"] = float(np.float32(hi.amplitude_track_dBpersec))
     return g
 
 
@@ -427,19 +444,36 @@ def _psy_params_setup(tpl, hi, singleblock):
         p["noisewindowfixed"] = guard.fixed
         nb = bias[block]
         userbias = hi.impulse_noisetune if (block == 0 and i0 == 0) else 0.0
+        # C (vorbisenc.c:444-456): noiseoff is a float field — the
+        # interpolation rounds to f32 on store, min/userbias work on the
+        # f32 values (min computed before bias is applied to [j][0]).
         for j in range(3):
-            p["noiseoff"][j] = [nb[isb].data[j][i] * (1.0 - dsb)
-                                + nb[isb + 1].data[j][i] * dsb
-                                for i in range(M.P_BANDS)]
+            p["noiseoff"][j] = [
+                float(np.float32(nb[isb].data[j][i] * (1.0 - dsb)
+                                 + nb[isb + 1].data[j][i] * dsb))
+                for i in range(M.P_BANDS)]
         for j in range(3):
-            mn = p["noiseoff"][j][0] + 6
+            mn = float(np.float32(p["noiseoff"][j][0] + 6))
             for i in range(M.P_BANDS):
-                p["noiseoff"][j][i] += userbias
-                if p["noiseoff"][j][i] < mn:
-                    p["noiseoff"][j][i] = mn
+                v = float(np.float32(p["noiseoff"][j][i] + userbias))
+                p["noiseoff"][j][i] = mn if v < mn else v
         # ath
         p["ath_adjatt"] = hi.ath_floating_dB
         p["ath_maxatt"] = hi.ath_absolute_dB
+
+    # vorbis_info_psy fields are C floats (psy.h:37-68): every double
+    # interpolation result above rounds once when stored in the struct.
+    _F32_FIELDS = ("ath_adjatt", "ath_maxatt", "tone_centerboost",
+                   "tone_decay", "tone_abs_limit", "noisemaxsupp",
+                   "noisewindowlo", "noisewindowhi", "flacint",
+                   "max_curve_dB")
+    _F32_LISTS = ("tone_masteratt", "toneatt", "noisecompand",
+                  "noisecompand_high")
+    for p in params:
+        for k in _F32_FIELDS:
+            p[k] = float(np.float32(p[k]))
+        for k in _F32_LISTS:
+            p[k] = [float(np.float32(v)) for v in p[k]]
     return params
 
 
