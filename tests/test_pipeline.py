@@ -1,0 +1,106 @@
+"""TPU pipeline tests on the virtual CPU mesh (conftest forces
+JAX_PLATFORMS=cpu with 8 host devices)."""
+
+import numpy as np
+import pytest
+
+from tests import oracle
+from vorbis_tpu.models.pipeline import TpuCodecPipeline, make_sharded_step
+from vorbis_tpu.ops import psy as PSY
+from vorbis_tpu.ops.mdct import mdct_forward
+from vorbis_tpu.ops.window import hybrid_window
+from vorbis_tpu.utils.scales import todB
+
+f32 = np.float32
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return TpuCodecPipeline(ch=2, rate=44100, quality=0.5)
+
+
+def _frames(pipe, seconds=0.6):
+    pcm = oracle.make_test_signal(seconds=seconds)
+    return pipe.frame(pcm)[0]  # channel 0: (F, n)
+
+
+def test_device_mdct_exact(pipe):
+    """The device window+MDCT path is bit-exact vs the numpy path
+    (ops/mdct.py is the verified bit-exact kernel on both backends)."""
+    fr = _frames(pipe)
+    md, logmdct, _ = map(np.asarray, pipe.encode_step(fr))
+    w = fr * hybrid_window(pipe.setup.vi.blocksizes[0], pipe.n, 1, 1, 1)
+    want = np.asarray(mdct_forward(w, pipe.n))
+    assert np.array_equal(md, want)
+    want_log = todB(want) + f32(0.345)
+    assert np.abs(logmdct - want_log).max() <= 1e-4  # f32 vs double add
+
+
+def test_device_noise_mask_close(pipe):
+    """Device bark noise mask tracks the exact scalar noisemask within
+    a small tolerance (fast path skips ntfix and reassociates float
+    sums; it must not drift)."""
+    fr = _frames(pipe)
+    md, logmdct, noise = map(np.asarray, pipe.encode_step(fr))
+    look = pipe.analysis.look
+    noff = np.asarray(look.noiseoffset[1], np.float32)[:pipe.n // 2]
+    for k in range(0, fr.shape[0], 7):
+        exact, _, _ = PSY.noisemask(look, -1.0, logmdct[k],
+                                    np.zeros(2048, np.float32), -1.0, 3)
+        got = noise[k] - noff
+        diff = np.abs(got - exact)
+        # ntfix only edits the first tonefix_end bins; beyond it the
+        # only differences are float reassociation
+        nx = look.tonefix_end
+        assert np.percentile(diff[nx:], 99) < 0.75, diff[nx:].max()
+        assert diff.mean() < 1.0
+
+
+def test_device_synthesis_overlap_add(pipe):
+    """Overlap-add across the frame axis equals the serial lapping."""
+    rng = np.random.RandomState(1)
+    spec = rng.randn(5, pipe.n // 2).astype(np.float32)
+    out = np.asarray(pipe.synthesis(spec))
+    from vorbis_tpu.ops.mdct import imdct
+    w = hybrid_window(pipe.n // 8, pipe.n, 1, 1, 1)
+    pcm = np.asarray(imdct(spec, pipe.n)) * w
+    n2 = pipe.n // 2
+    want = pcm[:, :n2].copy()
+    want[1:] += pcm[:-1, n2:]
+    assert np.array_equal(out, want.reshape(-1))
+
+
+def test_sharded_step_matches_single_device(pipe):
+    """The dp x sp sharded full step produces the same result as the
+    unsharded step (collectives must not change the math)."""
+    import jax
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        devs = jax.devices("cpu")
+    mesh = Mesh(np.array(devs[:8]).reshape(2, 4), ("dp", "sp"))
+    rng = np.random.RandomState(0)
+    frames = rng.randn(4, 2, 8, pipe.n).astype(np.float32)
+    step = make_sharded_step(pipe, mesh)
+    with mesh:
+        pcm_sh, err_sh = map(np.asarray, step(frames))
+    pcm, err = map(np.asarray, jax.jit(pipe.roundtrip_step)(frames))
+    assert pcm_sh.shape == pcm.shape
+    # the masked-quantization threshold (logmdct >= noise) can flip on
+    # ulp-level cumsum reassociation between sharding layouts; demand
+    # agreement in aggregate, not bitwise
+    assert np.abs(err_sh - err) < 1e-3, (err_sh, err)
+    mismatched = np.mean(np.abs(pcm_sh - pcm) > 1e-5)
+    assert mismatched < 0.25, mismatched
+    assert np.mean(np.abs(pcm_sh - pcm)) < 1e-2
+
+
+def test_graft_entry_contracts():
+    import __graft_entry__ as g
+    import jax
+
+    fn, args = g.entry()
+    out = np.asarray(jax.jit(fn)(*args))
+    assert out.shape == (8, 1024) and np.isfinite(out).all()
+    g.dryrun_multichip(8)

@@ -236,6 +236,15 @@ class Decoder:
         self.pcm_returned = self.pcm_current
         return out
 
+    def lapout(self) -> np.ndarray:
+        """Pending lap tail beyond the returned PCM (reference:
+        vorbis_synthesis_lapout, block.c:1193): the half-window of
+        buffered, not-yet-finalized samples used for crosslap splicing.
+        Returns (ch, k) with k <= blocksizes[1]//2 (unwindowed tail)."""
+        k = self.bs[self.W] // 2
+        lo = self.pcm_returned if self.pcm_returned >= 0 else 0
+        return self.buf[:, lo:lo + k].copy()
+
     def decode_packet(self, packet: bytes, granulepos=None,
                       eos: bool = False) -> np.ndarray:
         """One-call packet -> newly available PCM (ch, k)."""

@@ -1,0 +1,87 @@
+"""TPU batched codec pipeline: the flagship device model.
+
+The reference processes one block at a time through a frame-serial
+loop (lib/block.c, lib/analysis.c).  Here the same dataflow is a single
+jitted step over a (streams, frames, n) batch:
+
+  analysis  : window -> forward MDCT -> log spectrum -> two-pass bark
+              noise fit -> companded noise mask        (DeviceAnalysis)
+  synthesis : IMDCT -> window -> overlap-add halo      (DeviceSynthesis)
+
+Sharding model (SURVEY.md §7): streams ride the `dp` mesh axis, frames
+within a stream ride `sp`.  Analysis is embarrassingly parallel; the
+synthesis overlap-add is the one cross-frame dependency and lowers to a
+collective-permute halo exchange along `sp`.  Host keeps only Huffman
+coding + Ogg framing (bitstream/).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.jaxdsp import DeviceAnalysis, DeviceSynthesis
+from . import encsetup
+
+f32 = np.float32
+
+
+class TpuCodecPipeline:
+    """Batched long-block encode/decode compute spine for one codec
+    config (channels/rate/quality)."""
+
+    def __init__(self, ch=2, rate=44100, quality=0.4):
+        self.setup = encsetup.setup_vbr(ch, rate, quality)
+        self.n = self.setup.vi.blocksizes[1]
+        self.analysis = DeviceAnalysis(self.setup, blocktype=3, rate=rate)
+        self.synthesis = DeviceSynthesis(self.n)
+
+    def frame(self, pcm):
+        """Host-side framing: (ch, samples) -> (ch, F, n) overlapping
+        long blocks advancing n/2 (lib/block.c centerW walk)."""
+        ch, ns = pcm.shape
+        n = self.n
+        hop = n // 2
+        nf = max(1, (ns - n) // hop + 1)
+        idx = np.arange(nf)[:, None] * hop + np.arange(n)[None, :]
+        return np.ascontiguousarray(
+            pcm[:, np.clip(idx, 0, ns - 1)].astype(np.float32))
+
+    def encode_step(self, frames):
+        """frames: (..., n) -> (mdct, logmdct, noise_mask).  Jittable."""
+        return self.analysis(frames)
+
+    def roundtrip_step(self, frames):
+        """Full device step: analyze, floor the spectrum against the
+        noise mask (the quantization decision), resynthesize, and
+        measure reconstruction error.  This is the codec equivalent of
+        a train step — every hot op of encode AND decode in one jit."""
+        md, logmdct, noise = self.analysis(frames)
+        # keep only components above the noise mask (the decision the
+        # residue coder encodes; reference: _vp_couple_quantize_normalize)
+        keep = logmdct >= noise
+        quant = jnp.where(keep, md, 0.0)
+        pcm = self.synthesis(quant)
+        src = self.synthesis(md)
+        err = jnp.sqrt(jnp.mean((pcm - src) ** 2))
+        return pcm, err
+
+
+def make_sharded_step(pipe: TpuCodecPipeline, mesh: Mesh):
+    """Jit the full roundtrip step over a device mesh with
+    streams->dp, frames->sp sharding."""
+    in_sharding = NamedSharding(mesh, P("dp", None, "sp", None))
+    out_sharding = (NamedSharding(mesh, P("dp", None, None)),
+                    NamedSharding(mesh, P()))
+
+    @partial(jax.jit, in_shardings=(in_sharding,),
+             out_shardings=out_sharding)
+    def step(frames):
+        return pipe.roundtrip_step(frames)
+
+    return step
