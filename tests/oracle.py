@@ -276,7 +276,7 @@ class RefLib:
         self.lib.vorbis_synthesis_pcmout.restype = C.c_int
         self.lib.vorbis_window.restype = C.POINTER(C.c_float)
 
-    def decode_packets(self, packets):
+    def decode_packets(self, packets, halfrate=False):
         """packets: list of (bytes, granulepos_or_None, eos).  First 3
         must be the headers.  Returns (ch, n) float32 PCM decoded by the
         REFERENCE library."""
@@ -304,6 +304,8 @@ class RefLib:
             r = lib.vorbis_synthesis_headerin(C.byref(vi), C.byref(vc),
                                               C.byref(mkpkt(data, gp, eos, i)))
             assert r == 0, f"headerin failed {r}"
+        if halfrate:
+            assert lib.vorbis_synthesis_halfrate(C.byref(vi), 1) == 0
         vd = vorbis_dsp_state()
         vb = vorbis_block()
         assert lib.vorbis_synthesis_init(C.byref(vd), C.byref(vi)) == 0

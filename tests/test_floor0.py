@@ -1,0 +1,133 @@
+"""Floor 0 (LSP) decode tests against the compiled reference
+(lib/floor0.c, lib/lsp.c:248-281)."""
+
+import ctypes as C
+import subprocess
+
+import numpy as np
+import pytest
+
+from tests import oracle
+from vorbis_tpu.bitstream.bitpack import BitWriter, ilog
+from vorbis_tpu.codec.floor0_codec import (Floor0Look, decode_floor0,
+                                           floor0_curve)
+from vorbis_tpu.codec.headers import Floor0Info
+
+f32 = np.float32
+
+F0MAP_SRC = r"""
+#include <stdio.h>
+#include <stdlib.h>
+#include <math.h>
+#define toBARK(n) (13.1f*atan(.00074f*(n))+2.24f*atan((n)*(n)*1.85e-8f)+1e-4f*(n))
+int main(int argc, char**argv){
+  int ln = atoi(argv[1]); long rate = atol(argv[2]); int n = atoi(argv[3]);
+  float scale = ln/toBARK(rate/2.f);
+  for(int j=0;j<n;j++){
+    int val = floor( toBARK((rate/2.f)/n*j) * scale );
+    if(val>=ln) val = ln-1;
+    printf("%d ", val);
+  }
+  return 0;
+}
+"""
+
+
+@pytest.fixture(scope="module")
+def f0map_bin(tmp_path_factory):
+    d = tmp_path_factory.mktemp("f0")
+    src = d / "f0map.c"
+    src.write_text(F0MAP_SRC)
+    out = str(d / "f0map")
+    subprocess.run(["gcc", "-O2", "-o", out, str(src), "-lm"], check=True)
+    return out
+
+
+@pytest.mark.parametrize("ln,rate,n", [
+    (28, 8000, 128), (28, 8000, 1024), (64, 44100, 512),
+    (32, 11025, 256), (256, 48000, 2048), (77, 22050, 64)])
+def test_linearmap_matches_reference(f0map_bin, ln, rate, n):
+    """floor0_map_lazy_init bark mapping (floor0.c:113-143)."""
+    ref = np.array(list(map(int, subprocess.run(
+        [f0map_bin, str(ln), str(rate), str(n)],
+        capture_output=True, text=True).stdout.split())))
+    info = Floor0Info(order=12, rate=rate, barkmap=ln, ampbits=6,
+                      ampdB=240, books=[0])
+    mine = Floor0Look(info).get_map(n)
+    assert np.array_equal(mine[:n], ref)
+    assert mine[n] == -1
+
+
+def test_lsp_to_curve_bit_exact_vs_reference():
+    """vorbis_lsp_to_curve float path (lsp.c:248-281), randomized."""
+    oracle.build_reflib()
+    lib = C.CDLL(oracle.REFLIB_PATH)
+    fn = lib.vorbis_lsp_to_curve
+    fn.argtypes = [np.ctypeslib.ndpointer(np.float32),
+                   np.ctypeslib.ndpointer(np.int32), C.c_int, C.c_int,
+                   np.ctypeslib.ndpointer(np.float32), C.c_int,
+                   C.c_float, C.c_float]
+    rng = np.random.RandomState(0)
+    for _ in range(25):
+        order = int(rng.randint(1, 40))
+        ln = int(rng.randint(4, 256))
+        rate = int(rng.choice([8000, 11025, 22050, 44100, 48000]))
+        n = int(rng.choice([64, 128, 256, 512, 1024]))
+        ampdB = int(rng.randint(60, 256))
+        info = Floor0Info(order=order, rate=rate, barkmap=ln, ampbits=6,
+                          ampdB=ampdB, books=[0])
+        look = Floor0Look(info)
+        mp = look.get_map(n).astype(np.int32)
+        base = np.sort(rng.uniform(0.05, 3.1, order)).astype(np.float32)
+        amp = np.float32(rng.uniform(10, ampdB))
+        memo = np.concatenate([base, [amp]]).astype(np.float32)
+        want = np.ones(n, np.float32)
+        fn(want, mp, n, ln, base.copy(), order, amp, np.float32(ampdB))
+        got = floor0_curve(memo, look, n)
+        assert np.array_equal(got, want)
+
+
+def test_decode_floor0_packet_bits():
+    """decode_floor0 bit syntax: amp, book number, decodev_set with the
+    cumulative 'last' add (floor0_inverse1, floor0.c:162-198)."""
+    # borrow a real decode-side codebook from an encoded stream
+    from vorbis_tpu.codec import headers as H
+    from vorbis_tpu.codec.encoder import Encoder
+    from vorbis_tpu.models import encsetup
+    setup = encsetup.setup_vbr(2, 44100, 0.4)
+    enc = Encoder(setup)
+    vi = H.parse_headers(list(enc.header_packets()))
+    bidx, book = next((i, b) for i, b in enumerate(vi.books)
+                      if b.values is not None and 1 <= b.dim <= 4)
+    order = int(2 * book.dim)
+    info = Floor0Info(order=order, rate=8000, barkmap=28, ampbits=6,
+                      ampdB=240, books=[bidx, bidx])
+    look = Floor0Look(info)
+    # write: amp=33, booknum=1 (2 books -> ilog(2)=2 bits), 2 codewords
+    w = BitWriter()
+    w.write(33, 6)
+    w.write(1, ilog(len(info.books)))
+    entries = [e for e in range(book.entries)
+               if book.lengths[e] > 0][:2]
+    for e in entries:
+        w.write(int(book.codewords[e]), int(book.lengths[e]))
+    from vorbis_tpu.bitstream.bitpack import BitReader
+    r = BitReader(w.getvalue())
+    memo = decode_floor0(r, look, vi.books)
+    assert memo is not None and len(memo) == order + 1
+    # expected: decodev_set values with cumulative last-add per group
+    vals = np.concatenate([np.asarray(book.values[e], np.float32)
+                           for e in entries])
+    want = vals.copy()
+    last = f32(0.0)
+    j = 0
+    while j < order:
+        for _ in range(int(book.dim)):
+            want[j] = f32(want[j] + last)
+            j += 1
+        last = want[j - 1]
+    assert np.array_equal(memo[:order], want)
+    assert memo[order] == f32(f32(np.float32(33) / 63) * 240)
+    # amp == 0 -> unused floor
+    r0 = BitReader(b"\x00\x00")
+    assert decode_floor0(r0, look, vi.books) is None

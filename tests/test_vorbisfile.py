@@ -114,12 +114,34 @@ def test_decodes_system_encoded_file(tmp_path, stream):
     assert np.abs(out - want).max() < 1e-4
 
 
-def test_halfrate_refused(stream):
-    _, ogg = stream
+def test_halfrate_bit_exact_vs_reference(stream):
+    """Halfrate decode (half-size IMDCT path) matches the reference
+    library's vorbis_synthesis_halfrate output bit-for-bit."""
+    from vorbis_tpu.codec.encoder import Encoder
+    from vorbis_tpu.models import encsetup
+    pcm, ogg = stream
+    setup = encsetup.setup_vbr(2, 44100, 0.4)
+    enc = Encoder(setup)
+    enc.write(pcm)
+    enc.end_of_stream()
+    pkts = enc.pump()
+    h = enc.header_packets()
+    plist = ([(h[0], 0, False), (h[1], 0, False), (h[2], 0, False)]
+             + [(p.data, p.granulepos, p.eos) for p in pkts])
+    want = oracle.RefLib().decode_packets(plist, halfrate=True)
     vf = OggVorbisFile(ogg)
-    with pytest.raises(ValueError):
-        vf.halfrate(True)
-    assert not vf.halfrate_p()
+    vf.halfrate(True)
+    assert vf.halfrate_p()
+    got = vf.read_all_float()
+    assert got.shape == want.shape == (2, pcm.shape[1] // 2)
+    assert np.array_equal(got, want)
+    # positions stay full-rate: a read of k samples advances tell by 2k
+    vf2 = OggVorbisFile(ogg)
+    vf2.halfrate(True)
+    k = vf2.read_float(256).shape[1]
+    assert vf2.pcm_tell() == 2 * k
+    vf2.halfrate(False)
+    assert not vf2.halfrate_p()
 
 
 def test_garbage_rejected():

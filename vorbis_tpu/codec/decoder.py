@@ -21,6 +21,7 @@ import numpy as np
 from ..bitstream.bitpack import BitReader, EndOfPacket, ilog
 from ..ops.mdct import imdct
 from . import headers as H
+from .floor0_codec import Floor0Look, decode_floor0, floor0_curve
 from .floor1_codec import Floor1Look, decode_floor1, floor1_curve
 from .residue_codec import ResidueLook, decode_residue
 
@@ -46,13 +47,21 @@ class Decoder:
     """Stateful single-stream decoder mirroring the libvorbis dsp/block
     state machine."""
 
-    def __init__(self, vi: H.VorbisInfo):
+    def __init__(self, vi: H.VorbisInfo, halfrate: bool = False):
         self.vi = vi
         self.ch = vi.channels
         bs0, bs1 = vi.blocksizes
         self.bs = vi.blocksizes
+        # halfrate decode (reference: vorbis_synthesis_halfrate,
+        # synthesis.c:166 + the >>hs lapping in block.c): same bit
+        # syntax, half-size IMDCT/windows, half-unit buffer positions,
+        # full-rate granulepos accounting
+        if halfrate and bs0 <= 64:
+            raise ValueError("blocksize too small for halfrate "
+                             "(synthesis.c:170)")
+        self.hs = 1 if halfrate else 0
         self.modebits = ilog(len(vi.modes) - 1)
-        self.floor_looks = [Floor1Look(f) if t == 1 else None
+        self.floor_looks = [Floor1Look(f) if t == 1 else Floor0Look(f)
                             for t, f in zip(vi.floor_types, vi.floors)]
         self.residue_looks = [ResidueLook(res, vi.books)
                               for res in vi.residues]
@@ -94,7 +103,10 @@ class Decoder:
             submap = mapping.chmuxlist[c]
             fl_idx = mapping.floorsubmap[submap]
             look = self.floor_looks[fl_idx]
-            fit = decode_floor1(r, look, vi.books)
+            if vi.floor_types[fl_idx] == 0:
+                fit = decode_floor0(r, look, vi.books)
+            else:
+                fit = decode_floor1(r, look, vi.books)
             floor_fits.append(fit)
             nonzero[c] = fit is not None
 
@@ -134,21 +146,31 @@ class Decoder:
         for c in range(self.ch):
             if floor_fits[c] is not None:
                 submap = mapping.chmuxlist[c]
-                look = self.floor_looks[mapping.floorsubmap[submap]]
-                spec[c] = (spec[c] * floor1_curve(floor_fits[c], look,
-                                                  n // 2)).astype(np.float32)
+                fl_idx = mapping.floorsubmap[submap]
+                look = self.floor_looks[fl_idx]
+                if vi.floor_types[fl_idx] == 0:
+                    curve = floor0_curve(floor_fits[c], look, n // 2)
+                else:
+                    curve = floor1_curve(floor_fits[c], look, n // 2)
+                spec[c] = (spec[c] * curve).astype(np.float32)
             else:
                 spec[c] = 0.0
 
-        pcm = np.asarray(imdct(spec, n))
+        if self.hs:
+            # half-size transform reads the first n/4 bins
+            nh = n >> self.hs
+            pcm = np.asarray(imdct(spec[:, :nh // 2], nh))
+        else:
+            pcm = np.asarray(imdct(spec, n))
         return pcm, W
 
     # ---- lapped overlap-add state machine --------------------------------
     def blockin(self, block: np.ndarray, W: int, granulepos: int,
                 eos: bool) -> np.ndarray:
         """Feed one decoded block; returns newly available PCM (ch, k)."""
-        bs0, bs1 = self.bs
-        n = self.bs[W] // 2
+        hs = self.hs
+        bs0, bs1 = self.bs[0] >> hs, self.bs[1] >> hs
+        n = (self.bs[W] >> hs) // 2
         n0, n1 = bs0 // 2, bs1 // 2
         lW = self.W
         self.W = W
@@ -198,9 +220,13 @@ class Decoder:
             self.pcm_current = thisCenter
         else:
             self.pcm_returned = prevCenter
-            self.pcm_current = prevCenter + self.bs[lW] // 4 + self.bs[W] // 4
+            self.pcm_current = prevCenter + (
+                (self.bs[lW] // 4 + self.bs[W] // 4) >> hs)
 
         # granulepos tracking / end trimming (reference block.c:1023-1157)
+        # sample_count/granulepos stay in FULL-rate units; buffer
+        # positions are half units under halfrate (the >>hs, mirroring
+        # block.c:1062/1115/1150)
         if self.sample_count == -1:
             self.sample_count = 0
         else:
@@ -212,7 +238,7 @@ class Decoder:
                 self.granulepos = vgp
                 if self.sample_count > vgp:
                     extra = self.sample_count - vgp
-                    extra = max(0, extra)
+                    extra = max(0, extra) >> hs
                     if eos:
                         extra = min(extra,
                                     self.pcm_current - self.pcm_returned)
@@ -224,7 +250,7 @@ class Decoder:
             self.granulepos += self.bs[lW] // 4 + self.bs[W] // 4
             if vgp != -1 and self.granulepos != vgp:
                 if self.granulepos > vgp:
-                    extra = self.granulepos - vgp
+                    extra = (self.granulepos - vgp) >> hs
                     if extra and eos:
                         extra = min(extra,
                                     self.pcm_current - self.pcm_returned)
@@ -241,7 +267,7 @@ class Decoder:
         vorbis_synthesis_lapout, block.c:1193): the half-window of
         buffered, not-yet-finalized samples used for crosslap splicing.
         Returns (ch, k) with k <= blocksizes[1]//2 (unwindowed tail)."""
-        k = self.bs[self.W] // 2
+        k = (self.bs[self.W] >> self.hs) // 2
         lo = self.pcm_returned if self.pcm_returned >= 0 else 0
         return self.buf[:, lo:lo + k].copy()
 

@@ -11,9 +11,9 @@ vorbisfile.c:1680), and crosslap splicing (ov_crosslap 2413).
 Differences from the reference by design:
 - the source is a bytes buffer or seekable file object, so "bisection
   over the callback" becomes direct page-index bisection;
-- halfrate decode is not yet half-size IMDCT; `half rate` requests are
-  currently refused (OV_EINVAL-equivalent ValueError) rather than
-  approximated.
+- halfrate decode is real half-size IMDCT like the reference
+  (synthesis.c:166, block.c >>hs lapping); positions and totals remain
+  in full-rate units, reads return half as many samples.
 """
 
 from __future__ import annotations
@@ -229,7 +229,8 @@ class OggVorbisFile:
     def _open_link(self, link):
         lk = self.links[link]
         self._cur_link = link
-        self._decoder = Decoder(lk.vi)
+        self._decoder = Decoder(lk.vi,
+                                halfrate=bool(getattr(self, "_hs", 0)))
         it = _packets_of_pages(lk.pages)
         # consume the 3 header packets
         for _ in range(3):
@@ -274,7 +275,8 @@ class OggVorbisFile:
         out, self._pending = chunk[:, :k], chunk[:, k:]
         if self._pending.shape[1] == 0:
             self._pending = None
-        self._pcm_offset += k
+        # positions stay in full-rate units under halfrate
+        self._pcm_offset += k << getattr(self, "_hs", 0)
         return out
 
     def read(self, nsamples: int) -> np.ndarray:
@@ -359,7 +361,8 @@ class OggVorbisFile:
     def _seek_to_page(self, link: int, page_idx: int):
         self._cur_link = link
         lk = self.links[link]
-        self._decoder = Decoder(lk.vi)
+        self._decoder = Decoder(lk.vi,
+                                halfrate=bool(getattr(self, "_hs", 0)))
         it = _packets_of_pages(lk.pages)
         for _ in range(3):
             next(it)
@@ -387,7 +390,7 @@ class OggVorbisFile:
                 self._pcm_offset = lk.pcm_start + lk.pcm_total
                 return
             chunks.append(c)
-            total += c.shape[1]
+            total += c.shape[1] << getattr(self, "_hs", 0)
         # one more guard: granulepos may have become known with PCM
         # still pending in `chunks`
         frontier = lk.pcm_start + self._decoder.granulepos
@@ -424,9 +427,10 @@ class OggVorbisFile:
                 chunk = self._decode_next()
                 if chunk is None:
                     break
-            k = chunk.shape[1]
+            hs = getattr(self, "_hs", 0)
+            k = chunk.shape[1] << hs
             if self._pcm_offset + k > pos:
-                self._pending = chunk[:, pos - self._pcm_offset:]
+                self._pending = chunk[:, (pos - self._pcm_offset) >> hs:]
                 self._pcm_offset = pos
                 return
             self._pcm_offset += k
@@ -463,12 +467,18 @@ class OggVorbisFile:
         other._pcm_offset -= head.shape[1]
 
     def halfrate(self, flag: bool):
-        if flag:
-            raise ValueError(
-                "halfrate decode not implemented yet (OV_EINVAL)")
+        """ov_halfrate (vorbisfile.c:1030): decode at half the sample
+        rate via half-size IMDCT/windows.  pcm positions/totals remain
+        in FULL-rate units (like the reference); reads simply return
+        half as many samples per block."""
+        if flag and min(lk.vi.blocksizes[0] for lk in self.links) <= 64:
+            raise OVError("blocksize too small for halfrate (OV_EINVAL)")
+        self._hs = 1 if flag else 0
+        self._open_link(self._cur_link)
+        self._pcm_offset = None
 
     def halfrate_p(self) -> bool:
-        return False
+        return bool(getattr(self, "_hs", 0))
 
 
 # convenience mirroring ov_fopen + full drain
