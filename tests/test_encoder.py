@@ -92,6 +92,67 @@ def test_golden_packets(tmp_path, ch, rate, q, kbps, secs):
     _assert_golden(tmp_path, pcm, rate, q, kbps)
 
 
+CTL_MATRIX = [
+    {"lowpass": 8.0},
+    {"iblock": -10.0},
+    {"coupling": 0},
+    {"lowpass": 15.0, "iblock": -5.0},
+]
+
+
+@needs_ref
+@pytest.mark.parametrize("ctl", CTL_MATRIX)
+def test_golden_packets_with_ctl(tmp_path, ctl):
+    """vorbis_encode_ctl paths (vorbisenc.c:1072-1274): lowpass,
+    impulse noisetune, coupling toggle — applied between setup and
+    init, still byte-identical."""
+    import json
+    oracle.build_reflib()
+    pcm = oracle.make_test_signal(seconds=0.3)
+    pcm_path = tmp_path / "pcm.npy"
+    out_path = tmp_path / "ref.pkl"
+    np.save(pcm_path, pcm)
+    subprocess.run([sys.executable, os.path.join(TOOLS, "ref_encode.py"),
+                    str(pcm_path), "44100", "0.4", str(out_path), "0",
+                    json.dumps(ctl)], check=True, capture_output=True,
+                   text=True)
+    with open(out_path, "rb") as f:
+        ref = pickle.load(f)
+    b = encsetup.setup_vbr_staged(2, 44100, 0.4)
+    if "lowpass" in ctl:
+        b.ctl_lowpass_set(ctl["lowpass"])
+    if "iblock" in ctl:
+        b.ctl_iblock_set(ctl["iblock"])
+    if "coupling" in ctl:
+        b.ctl_coupling_set(bool(ctl["coupling"]))
+    enc = Encoder(b.init())
+    enc.write(pcm)
+    enc.end_of_stream()
+    mine = enc.pump()
+    h = enc.header_packets()
+    assert h[0] == ref["headers"][0] and h[2] == ref["headers"][2]
+    assert len(mine) == len(ref["packets"])
+    for i, (m, (rb, rgp, reos)) in enumerate(zip(mine, ref["packets"])):
+        assert m.data == rb and m.granulepos == rgp \
+            and bool(m.eos) == bool(reos), f"packet {i} differs"
+
+
+def test_ctl_guards():
+    b = encsetup.setup_vbr_staged(2, 44100, 0.4)
+    b.ctl_lowpass_set(120.0)
+    assert b.ctl_lowpass_get() == 99.0      # clamp (vorbisenc.c:1220)
+    b.ctl_iblock_set(-99.0)
+    assert b.ctl_iblock_get() == -15.0      # clamp (vorbisenc.c:1236)
+    rm = b.ctl_ratemanage2_get()
+    assert not rm["management_active"]
+    with pytest.raises(ValueError):
+        b.ctl_ratemanage2_set({"bitrate_limit_min_kbps": 200,
+                               "bitrate_average_kbps": 100})
+    b.init()
+    with pytest.raises(ValueError):         # set_in_stone
+        b.ctl_lowpass_set(10.0)
+
+
 @needs_ref
 def test_golden_packets_silence(tmp_path):
     """All-zero input exercises the dynamic-range floor and lossless

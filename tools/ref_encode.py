@@ -5,10 +5,14 @@ inside the test process is unreliable (the host process's FPU state —
 e.g. FTZ set by ML runtimes — changes the LPC edge packets).
 
 Usage: python tools/ref_encode.py <pcm.npy> <rate> <quality> <out.pkl>
-           [managed_kbps]
+           [managed_kbps] [ctl_json]
+
+ctl_json: optional JSON dict applied via vorbis_encode_ctl between
+setup and init, e.g. '{"lowpass": 8.0, "iblock": -10.0, "coupling": 0}'.
 """
 
 import ctypes as C
+import json
 import pickle
 import sys
 
@@ -43,19 +47,30 @@ def main():
     quality = float(sys.argv[3])
     out = sys.argv[4]
     managed = int(sys.argv[5]) if len(sys.argv) > 5 else 0
+    ctl = json.loads(sys.argv[6]) if len(sys.argv) > 6 else {}
     lib = C.CDLL(LIB, mode=C.RTLD_GLOBAL)
     lib.vorbis_analysis_buffer.restype = C.POINTER(C.POINTER(C.c_float))
     ch, ns = pcm.shape
     vi = vorbis_info()
     lib.vorbis_info_init(C.byref(vi))
     if managed:
-        r = lib.vorbis_encode_init(C.byref(vi), ch, C.c_long(rate),
-                                   C.c_long(managed * 1000),
-                                   C.c_long(managed * 1000),
-                                   C.c_long(managed * 1000))
+        r = lib.vorbis_encode_setup_managed(
+            C.byref(vi), ch, C.c_long(rate), C.c_long(managed * 1000),
+            C.c_long(managed * 1000), C.c_long(managed * 1000))
     else:
-        r = lib.vorbis_encode_init_vbr(C.byref(vi), ch, C.c_long(rate),
-                                       C.c_float(quality))
+        r = lib.vorbis_encode_setup_vbr(C.byref(vi), ch, C.c_long(rate),
+                                        C.c_float(quality))
+    assert r == 0, r
+    if "lowpass" in ctl:
+        v = C.c_double(ctl["lowpass"])
+        assert lib.vorbis_encode_ctl(C.byref(vi), 0x21, C.byref(v)) == 0
+    if "iblock" in ctl:
+        v = C.c_double(ctl["iblock"])
+        assert lib.vorbis_encode_ctl(C.byref(vi), 0x31, C.byref(v)) == 0
+    if "coupling" in ctl:
+        v = C.c_int(ctl["coupling"])
+        assert lib.vorbis_encode_ctl(C.byref(vi), 0x41, C.byref(v)) == 0
+    r = lib.vorbis_encode_setup_init(C.byref(vi))
     assert r == 0, r
     vd = _blob(4096)
     vb = _blob(4096)

@@ -108,7 +108,105 @@ def _interp(arr, s, get=lambda a, i: a[i]):
     return get(arr, is_) * (1.0 - ds) + get(arr, is_ + 1) * ds
 
 
-def setup_vbr(ch: int, rate: int, quality: float) -> EncoderSetup:
+class SetupBuilder:
+    """Staged setup mirroring the 3-step C API: setup_vbr/setup_managed
+    -> vorbis_encode_ctl -> vorbis_encode_setup_init
+    (reference: vorbisenc.c:952/997/1072/722)."""
+
+    def __init__(self, tpl, hi: HighLevel, ch: int, rate: int,
+                 req: float):
+        self.tpl = tpl
+        self.hi = hi
+        self.ch = ch
+        self.rate = rate
+        self.req = req
+        self.set_in_stone = False
+
+    # -- vorbis_encode_ctl equivalents (vorbisenc.c:1072-1274) ----------
+    def ctl_lowpass_get(self) -> float:
+        return self.hi.lowpass_kHz
+
+    def ctl_lowpass_set(self, kHz: float) -> None:
+        self._writable()
+        self.hi.lowpass_kHz = min(max(float(kHz), 2.0), 99.0)
+        self.hi.lowpass_altered = True
+
+    def ctl_iblock_get(self) -> float:
+        return self.hi.impulse_noisetune
+
+    def ctl_iblock_set(self, v: float) -> None:
+        self._writable()
+        self.hi.impulse_noisetune = min(max(float(v), -15.0), 0.0)
+
+    def ctl_coupling_get(self) -> bool:
+        return self.hi.coupling_p
+
+    def ctl_coupling_set(self, flag: bool) -> None:
+        """Re-fetches the (un)coupled template; base_setting moves with
+        it but an explicitly-altered lowpass survives
+        (vorbisenc.c:1246-1269)."""
+        self._writable()
+        self.hi.coupling_p = bool(flag)
+        tpl, base = get_setup_template(
+            self.ch if self.hi.coupling_p else -1, self.rate,
+            self.req, 1 if self.hi.managed else 0)
+        if tpl is None:
+            raise ValueError("no matching mode template (OV_EIMPL)")
+        self.tpl = tpl
+        self.hi.base_setting = base
+
+    def ctl_ratemanage2_get(self) -> dict:
+        hi = self.hi
+        return {
+            "management_active": bool(hi.managed),
+            "bitrate_limit_min_kbps": hi.bitrate_min // 1000,
+            "bitrate_limit_max_kbps": hi.bitrate_max // 1000,
+            "bitrate_average_kbps": hi.bitrate_av // 1000,
+            "bitrate_average_damping": hi.bitrate_av_damp,
+            "bitrate_limit_reservoir_bits": hi.bitrate_reservoir,
+            "bitrate_limit_reservoir_bias": hi.bitrate_reservoir_bias,
+        }
+
+    def ctl_ratemanage2_set(self, ai: dict | None) -> None:
+        self._writable()
+        hi = self.hi
+        if ai is None:
+            hi.managed = False
+            return
+        mn = ai.get("bitrate_limit_min_kbps", hi.bitrate_min // 1000)
+        mx = ai.get("bitrate_limit_max_kbps", hi.bitrate_max // 1000)
+        av = ai.get("bitrate_average_kbps", hi.bitrate_av // 1000)
+        damp = ai.get("bitrate_average_damping", hi.bitrate_av_damp)
+        res = ai.get("bitrate_limit_reservoir_bits",
+                     hi.bitrate_reservoir)
+        bias = ai.get("bitrate_limit_reservoir_bias",
+                      hi.bitrate_reservoir_bias)
+        if mn > 0 and av > 0 and mn > av:
+            raise ValueError("OV_EINVAL")
+        if mx > 0 and av > 0 and mx < av:
+            raise ValueError("OV_EINVAL")
+        if mn > 0 and mx > 0 and mn > mx:
+            raise ValueError("OV_EINVAL")
+        if damp <= 0.0 or res < 0 or not 0.0 <= bias <= 1.0:
+            raise ValueError("OV_EINVAL")
+        hi.managed = bool(ai.get("management_active", hi.managed))
+        hi.bitrate_min = mn * 1000
+        hi.bitrate_max = mx * 1000
+        hi.bitrate_av = av * 1000
+        hi.bitrate_av_damp = damp
+        hi.bitrate_reservoir = res
+        hi.bitrate_reservoir_bias = bias
+
+    def _writable(self):
+        if self.set_in_stone:
+            raise ValueError("setup already initialized (OV_EINVAL)")
+
+    def init(self) -> EncoderSetup:
+        self.set_in_stone = True
+        return _setup_init(self.tpl, self.hi, self.ch, self.rate)
+
+
+def setup_vbr_staged(ch: int, rate: int, quality: float) -> SetupBuilder:
     # C: float quality; quality+=.0000001; (float add, rounds to f32)
     quality = float(np.float32(np.float64(np.float32(quality))
                                + 0.0000001))
@@ -118,11 +216,15 @@ def setup_vbr(ch: int, rate: int, quality: float) -> EncoderSetup:
     if tpl is None:
         raise ValueError("no matching mode template (OV_EIMPL)")
     hi = HighLevel(base_setting=base, managed=False)
-    return _setup_init(tpl, hi, ch, rate)
+    return SetupBuilder(tpl, hi, ch, rate, quality)
 
 
-def setup_managed(ch: int, rate: int, max_bps: int, nominal_bps: int,
-                  min_bps: int) -> EncoderSetup:
+def setup_vbr(ch: int, rate: int, quality: float) -> EncoderSetup:
+    return setup_vbr_staged(ch, rate, quality).init()
+
+
+def setup_managed_staged(ch: int, rate: int, max_bps: int,
+                         nominal_bps: int, min_bps: int) -> SetupBuilder:
     tnominal = nominal_bps
     if nominal_bps <= 0:
         if max_bps > 0:
@@ -139,7 +241,13 @@ def setup_managed(ch: int, rate: int, max_bps: int, nominal_bps: int,
                    bitrate_min=min_bps, bitrate_max=max_bps,
                    bitrate_av=int(tnominal),
                    bitrate_reservoir=int(nominal_bps * 2))
-    return _setup_init(tpl, hi, ch, rate)
+    return SetupBuilder(tpl, hi, ch, rate, nominal_bps)
+
+
+def setup_managed(ch: int, rate: int, max_bps: int, nominal_bps: int,
+                  min_bps: int) -> EncoderSetup:
+    return setup_managed_staged(ch, rate, max_bps, nominal_bps,
+                                min_bps).init()
 
 
 def _setup_init(tpl, hi: HighLevel, ch: int, rate: int) -> EncoderSetup:
