@@ -183,6 +183,11 @@ def pack_bits_array(values: np.ndarray, nbits: np.ndarray) -> tuple[bytes, int]:
     nbits = np.asarray(nbits, dtype=np.int64)
     if values.size == 0:
         return b"", 0
+    # native single-pass packer when available (native/vorbisnative.c)
+    from ..native import pack_bits as _native_pack
+    r = _native_pack(values, nbits)
+    if r is not None:
+        return r
     starts = np.zeros(len(nbits), dtype=np.int64)
     np.cumsum(nbits[:-1], out=starts[1:])
     total_bits = int(starts[-1] + nbits[-1])

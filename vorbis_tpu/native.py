@@ -1,0 +1,130 @@
+"""ctypes loader for the host-side native kernels (native/vorbisnative.c).
+
+Gracefully degrades: if the shared object is missing it is built on
+first import when a C compiler is available; otherwise `lib` is None
+and callers fall back to the numpy paths.
+"""
+
+from __future__ import annotations
+
+import ctypes as C
+import os
+import subprocess
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_HERE, "_vorbisnative.so")
+
+lib = None
+
+
+def _load():
+    global lib
+    if lib is not None:
+        return lib
+    if not os.path.exists(_SO):
+        script = os.path.join(_HERE, "..", "native", "build.sh")
+        try:
+            subprocess.run(["sh", script], check=True,
+                           capture_output=True, text=True)
+        except Exception:
+            return None
+    try:
+        L = C.CDLL(_SO)
+    except OSError:
+        return None
+    L.vn_pack_bits.restype = C.c_long
+    L.vn_pack_bits.argtypes = [
+        np.ctypeslib.ndpointer(np.uint64, flags="C"),
+        np.ctypeslib.ndpointer(np.int32, flags="C"),
+        C.c_long, np.ctypeslib.ndpointer(np.uint8, flags="C")]
+    L.vn_read_fields.restype = C.c_long
+    L.vn_read_fields.argtypes = [
+        np.ctypeslib.ndpointer(np.uint8, flags="C"), C.c_long,
+        C.POINTER(C.c_long), C.c_int,
+        np.ctypeslib.ndpointer(np.int64, flags="C"), C.c_long]
+    L.vn_huff_decode.restype = C.c_long
+    L.vn_huff_decode.argtypes = [
+        np.ctypeslib.ndpointer(np.uint8, flags="C"), C.c_long,
+        C.POINTER(C.c_long),
+        np.ctypeslib.ndpointer(np.int32, flags="C"), C.c_int,
+        np.ctypeslib.ndpointer(np.int32, flags="C"),
+        np.ctypeslib.ndpointer(np.int64, flags="C"), C.c_int,
+        np.ctypeslib.ndpointer(np.int64, flags="C"), C.c_long]
+    lib = L
+    return lib
+
+
+def pack_bits(values: np.ndarray, nbits: np.ndarray):
+    """Native LSB-first packer; returns (bytes, total_bits) or None if
+    the native library is unavailable."""
+    L = _load()
+    if L is None:
+        return None
+    values = np.ascontiguousarray(values, dtype=np.uint64)
+    nbits32 = np.ascontiguousarray(nbits, dtype=np.int32)
+    total = int(nbits32.sum(dtype=np.int64))
+    out = np.zeros(((total + 7) >> 3) + 8, np.uint8)
+    got = L.vn_pack_bits(values, nbits32, len(values), out)
+    assert got == total, (got, total)
+    return out[:(total + 7) >> 3].tobytes(), total
+
+
+class HuffDecoder:
+    """Two-level table Huffman decoder over a codebook (built once per
+    Codebook; reference: codebook.c decode_packed_entry_number's
+    firsttable + bisection replaced by an explicit escape table)."""
+
+    K = 10
+
+    def __init__(self, codewords, lengths, K2=None):
+        L = _load()
+        self.ok = L is not None
+        if not self.ok:
+            return
+        K = self.K
+        lengths = np.asarray(lengths, np.int64)
+        maxlen = int(lengths.max(initial=0))
+        K2 = K2 or max(1, maxlen - K)
+        self.K2 = K2
+        t1 = np.full(1 << K, -1, np.int32)
+        groups = {}
+        for e in range(len(lengths)):
+            ln = int(lengths[e])
+            if ln == 0:
+                continue
+            c = int(codewords[e])
+            if ln <= K:
+                t1[c::1 << ln] = (e << 6) | ln
+            else:
+                groups.setdefault(c & ((1 << K) - 1), []).append(
+                    (c, ln, e))
+        sec = []
+        offs = [0]
+        for w, items in groups.items():
+            t2 = np.full(1 << K2, -1, np.int32)
+            for c, ln, e in items:
+                rest = c >> K
+                step = 1 << (ln - K)
+                t2[rest::step] = (e << 6) | ln
+            t1[w] = -(len(sec)) - 2   # escape to secondary table
+            sec.append(t2)
+            offs.append(offs[-1] + (1 << K2))
+        self.t1 = np.ascontiguousarray(t1)
+        self.sec = (np.concatenate(sec).astype(np.int32)
+                    if sec else np.zeros(1, np.int32))
+        self.sec = np.ascontiguousarray(self.sec)
+        self.offs = np.ascontiguousarray(np.asarray(offs, np.int64))
+
+    def decode(self, data: np.ndarray, nbits_total: int, pos: int,
+               count: int):
+        """Decode up to count entries; returns (entries, new_pos,
+        ndecoded)."""
+        L = _load()
+        out = np.empty(count, np.int64)
+        p = C.c_long(pos)
+        got = L.vn_huff_decode(data, nbits_total, C.byref(p), self.t1,
+                               self.K, self.sec, self.offs, self.K2,
+                               out, count)
+        return out[:got], int(p.value), int(got)
