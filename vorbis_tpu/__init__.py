@@ -18,3 +18,21 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy top-level convenience API (avoids importing jax for users
+    # who only touch the bitstream layer)
+    if name == "encode_vbr_stream":
+        from .codec.encoder import encode_vbr_stream
+        return encode_vbr_stream
+    if name == "decode_ogg":
+        from .codec.decoder import decode_ogg
+        return decode_ogg
+    if name == "OggVorbisFile":
+        from .vorbisfile import OggVorbisFile
+        return OggVorbisFile
+    if name == "decode_file":
+        from .vorbisfile import decode_file
+        return decode_file
+    raise AttributeError(name)

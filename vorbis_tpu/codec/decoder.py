@@ -278,6 +278,29 @@ class Decoder:
         return self.blockin(pcm, W, granulepos, eos)
 
 
+def packet_blocksize(vi: H.VorbisInfo, packet: bytes) -> int:
+    """vorbis_packet_blocksize (synthesis.c:142): blocksize of an audio
+    packet without decoding it.  Raises NotAudioPacket for header
+    packets, ValueError for a bad mode."""
+    r = BitReader(packet)
+    if r.read1() != 0:
+        raise NotAudioPacket
+    mode = r.read(ilog(len(vi.modes) - 1))
+    if mode >= len(vi.modes):
+        raise ValueError("bad packet mode (OV_EBADPACKET)")
+    return vi.blocksizes[vi.modes[mode].blockflag]
+
+
+def is_idheader(packet: bytes) -> bool:
+    """vorbis_synthesis_idheader: True iff the packet parses as a
+    Vorbis identification header."""
+    try:
+        H.parse_id_header(packet)
+        return True
+    except Exception:
+        return False
+
+
 def decode_ogg(data: bytes) -> tuple[np.ndarray, H.VorbisInfo]:
     """Decode a complete single-stream Ogg Vorbis byte stream."""
     from ..bitstream.oggfile import OggStreamReader

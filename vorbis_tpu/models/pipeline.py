@@ -74,14 +74,6 @@ class TpuCodecPipeline:
 
 def make_sharded_step(pipe: TpuCodecPipeline, mesh: Mesh):
     """Jit the full roundtrip step over a device mesh with
-    streams->dp, frames->sp sharding."""
-    in_sharding = NamedSharding(mesh, P("dp", None, "sp", None))
-    out_sharding = (NamedSharding(mesh, P("dp", None, None)),
-                    NamedSharding(mesh, P()))
-
-    @partial(jax.jit, in_shardings=(in_sharding,),
-             out_shardings=out_sharding)
-    def step(frames):
-        return pipe.roundtrip_step(frames)
-
-    return step
+    streams->dp, frames->sp sharding (see parallel/mesh.py)."""
+    from ..parallel.mesh import sharded_roundtrip_step
+    return sharded_roundtrip_step(pipe, mesh)
