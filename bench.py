@@ -36,7 +36,7 @@ def main():
     rng = np.random.RandomState(0)
     x = rng.randn(frames_per_step, n).astype(np.float32) * 0.3
 
-    step = jax.jit(pipe.encode_step)
+    step = jax.jit(pipe.mask_step)
     dev = jax.devices()[0]
     xd = jax.device_put(x, dev)
 
@@ -55,7 +55,7 @@ def main():
     audio_seconds = total_frames * hop / rate / ch  # stereo stream time
     xrt = audio_seconds / dt
     print(json.dumps({
-        "metric": "tpu_batched_encode_analysis_stereo_q5",
+        "metric": "tpu_batched_encode_psy_stereo_q5",
         "value": round(xrt, 1),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(xrt / 500.0, 3),

@@ -56,15 +56,21 @@ class TpuCodecPipeline:
         """frames: (..., n) -> (mdct, logmdct, noise_mask).  Jittable."""
         return self.analysis(frames)
 
+    def mask_step(self, frames):
+        """Full psy fast path: MDCT + FFT + noise fit + tone seeding +
+        offset/mix -> (mdct, logmdct, final_mask)."""
+        return self.analysis.full_mask(frames)
+
     def roundtrip_step(self, frames):
-        """Full device step: analyze, floor the spectrum against the
-        noise mask (the quantization decision), resynthesize, and
-        measure reconstruction error.  This is the codec equivalent of
-        a train step — every hot op of encode AND decode in one jit."""
-        md, logmdct, noise = self.analysis(frames)
-        # keep only components above the noise mask (the decision the
+        """Full device step: analyze (complete masking chain), floor
+        the spectrum against the mask (the quantization decision),
+        resynthesize, and measure reconstruction error.  This is the
+        codec equivalent of a train step — every hot op of encode AND
+        decode in one jit."""
+        md, logmdct, mask = self.analysis.full_mask(frames)
+        # keep only components above the mask (the decision the
         # residue coder encodes; reference: _vp_couple_quantize_normalize)
-        keep = logmdct >= noise
+        keep = logmdct >= mask
         quant = jnp.where(keep, md, 0.0)
         pcm = self.synthesis(quant)
         src = self.synthesis(md)
