@@ -1,0 +1,111 @@
+"""Device floor1 fit/render tests against the exact scalar path
+(ops/floor_device.py vs codec/floor1_codec.py)."""
+
+import numpy as np
+import pytest
+
+import vorbis_tpu.codec.encoder as E
+from tests import oracle
+from vorbis_tpu.codec import floor1_codec as FC
+from vorbis_tpu.models import encsetup
+from vorbis_tpu.ops.floor_device import DeviceFloorFit
+
+
+@pytest.fixture(scope="module")
+def captures():
+    caps = []
+    real = FC.floor1_fit
+
+    def hook(fl_look, logmdct, logmask):
+        r = real(fl_look, logmdct, logmask)
+        caps.append((fl_look, np.array(logmdct, np.float32),
+                     np.array(logmask, np.float32),
+                     None if r is None else np.array(r)))
+        return r
+
+    old = E.floor1_fit
+    E.floor1_fit = hook
+    try:
+        pcm = oracle.make_test_signal(seconds=0.4)
+        setup = encsetup.setup_vbr(2, 44100, 0.4)
+        enc = E.Encoder(setup)
+        enc.write(pcm)
+        enc.end_of_stream()
+        enc.pump()
+    finally:
+        E.floor1_fit = old
+    return caps
+
+
+def _groups(caps):
+    from collections import defaultdict
+    g = defaultdict(list)
+    for c in caps:
+        g[id(c[0])].append(c)
+    return list(g.values())
+
+
+def test_device_fit_matches_exact(captures):
+    """>=75% exact post agreement; every deviation <= 1 quantum (the
+    f32 fit_line vs C double rint ties)."""
+    import jax
+    total = agree = 0
+    for items in _groups(captures):
+        dff = DeviceFloorFit(items[0][0])
+        out, used = map(np.asarray, jax.jit(dff)(
+            np.stack([i[1] for i in items]),
+            np.stack([i[2] for i in items])))
+        for k, (_, _, _, r) in enumerate(items):
+            total += 1
+            if r is None:
+                agree += not used[k]
+                continue
+            assert used[k]
+            same = np.array_equal(out[k][:len(r)], r)
+            if not same:
+                d = np.abs((out[k][:len(r)] & 0x7FFF) - (r & 0x7FFF))
+                assert d.max() <= 1, d.max()
+            agree += same
+    assert agree / total >= 0.75, (agree, total)
+
+
+def test_device_render_bit_exact(captures):
+    """Post quantization + curve render match floor1_encode's
+    quantization and the decoder's rendered curve exactly."""
+    import jax
+    import jax.numpy as jnp
+    table = FC.fromdB_lookup()
+    checked = 0
+    for items in _groups(captures):
+        lk = items[0][0]
+        dff = DeviceFloorFit(lk)
+        posts = np.stack([i[3] for i in items if i[3] is not None]
+                         ).astype(np.int32)
+        if not len(posts):
+            continue
+        qp = np.asarray(jax.jit(dff.quantize_posts)(posts))
+        cur = np.asarray(jax.jit(
+            lambda q: dff.render(q, jnp.asarray(table)))(qp))
+        for k, r in enumerate(p for _, _, _, p in items
+                              if p is not None):
+            post = np.array(r, np.int64)
+            val = post & 0x7FFF
+            m = lk.info.mult
+            val = (val >> 2 if m == 1 else val >> 3 if m == 2
+                   else val // 12 if m == 3 else val >> 4)
+            post = val | (post & 0x8000)
+            eo = np.zeros(lk.posts, np.int64)
+            eo[0], eo[1] = post[0], post[1]
+            for i in range(2, lk.posts):
+                ln = int(lk.loneighbor[i - 2])
+                hn = int(lk.hineighbor[i - 2])
+                pred = FC.render_point(
+                    lk.info.postlist[ln], lk.info.postlist[hn],
+                    int(eo[ln]), int(eo[hn]), lk.info.postlist[i])
+                eo[i] = ((pred | 0x8000)
+                         if ((post[i] & 0x8000) or pred == post[i])
+                         else post[i])
+            assert np.array_equal(qp[k] & 0xFFFF, eo & 0xFFFF)
+            assert np.array_equal(cur[k], FC.floor1_curve(eo, lk, lk.n))
+            checked += 1
+    assert checked > 10

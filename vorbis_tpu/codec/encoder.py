@@ -25,6 +25,7 @@ from ..ops import psy as PSY
 from ..ops.mdct import mdct_forward
 from ..ops.rdft import drft_forward
 from ..ops.window import apply_window
+from ..utils import analysis_dump as _dump
 from ..utils.lpc import lpc_from_data, lpc_predict
 from ..utils.scales import todB
 from . import headers as H
@@ -368,6 +369,11 @@ class Encoder:
             epeak.append(ep)
             npeak.append(npk)
             noise = logmask
+            if _dump.enabled():     # reference: ANALYSIS build dumps
+                _dump.dump(f"logmdct_ch{i}", logmdct)
+                _dump.dump(f"logfft_ch{i}", logfft_all[i])
+                _dump.dump(f"noise_ch{i}", noise)
+                _dump.dump(f"tone_ch{i}", tone)
 
             fl_look = self.floor_looks[
                 mapping.floorsubmap[mapping.chmuxlist[i]]]

@@ -40,6 +40,27 @@ class TpuCodecPipeline:
         self.n = self.setup.vi.blocksizes[1]
         self.analysis = DeviceAnalysis(self.setup, blocktype=3, rate=rate)
         self.synthesis = DeviceSynthesis(self.n)
+        from ..codec import headers as H
+        from ..codec.floor1_codec import Floor1Look, fromdB_lookup
+        from ..ops.floor_device import DeviceFloorFit
+        # long-block floor config (the encoder's floor for blocktype 3)
+        fl = [f for f in self.setup.floor_full
+              if f["postlist"][1] == self.n // 2]
+        fd = (fl[-1] if fl else self.setup.floor_full[-1])
+        info = H.Floor1Info(
+            partitions=fd["partitions"],
+            partitionclass=list(fd["partitionclass"]),
+            class_dim=list(fd["class_dim"]),
+            class_subs=list(fd["class_subs"]),
+            class_book=list(fd["class_book"]),
+            class_subbook=[list(r) for r in fd["class_subbook"]],
+            mult=fd["mult"], rangebits=0,
+            postlist=list(fd["postlist"]),
+            maxover=fd["maxover"], maxunder=fd["maxunder"],
+            maxerr=fd["maxerr"], twofitweight=fd["twofitweight"],
+            twofitatten=fd["twofitatten"])
+        self.floor_fit = DeviceFloorFit(Floor1Look(info))
+        self.fromdB = jnp.asarray(fromdB_lookup())
 
     def frame(self, pcm):
         """Host-side framing: (ch, samples) -> (ch, F, n) overlapping
@@ -60,6 +81,22 @@ class TpuCodecPipeline:
         """Full psy fast path: MDCT + FFT + noise fit + tone seeding +
         offset/mix -> (mdct, logmdct, final_mask)."""
         return self.analysis.full_mask(frames)
+
+    def encode_quantize_step(self, frames):
+        """Device encode through quantization: masking chain -> floor1
+        fit -> stream post quantization -> rendered gain curve ->
+        integer residues (reference: mapping0_forward through
+        _vp_couple_quantize_normalize's uncoupled quantization).
+        Returns (qposts (B, P) int32, residues (B, n/2) int32)."""
+        md, logmdct, mask = self.analysis.full_mask(frames)
+        posts, used = self.floor_fit(logmdct, mask)
+        qposts = self.floor_fit.quantize_posts(posts)
+        curve = self.floor_fit.render(qposts, self.fromdB)
+        # rint quantization against the rendered floor; unused floors
+        # (silent channels) produce zero residues
+        r = md / curve
+        res = jnp.where(used[:, None], jnp.rint(r).astype(jnp.int32), 0)
+        return qposts, res
 
     def roundtrip_step(self, frames):
         """Full device step: analyze (complete masking chain), floor

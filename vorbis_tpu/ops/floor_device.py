@@ -1,0 +1,371 @@
+"""Batched floor1 fitting and rendering on device (reference:
+lib/floor1.c floor1_fit / accumulate_fit / fit_line / inspect_error /
+render_line; exact scalar path: codec/floor1_codec.py).
+
+The scalar algorithm runs a greedy 63-iteration post-splitting loop
+per frame.  Here every step is vectorized across the frame batch:
+
+  - dB quantization + above/below classification: elementwise
+  - per-segment two-class regression moments: static segment matmul
+  - range fits: weighted-moment prefix sums, closed form per range
+  - the greedy loop: a Python-unrolled loop over the STATIC sort
+    positions (the visit order is fixed by the floor config); all
+    per-frame state (fit values, dynamic neighbors, memo) lives in
+    (B, posts) arrays
+
+The greedy control flow is reproduced exactly; the only numeric
+difference from the scalar path is f32 fit_line arithmetic (the C
+code uses doubles), which can move a post by +-1 quantum in rare
+near-tie fits — tested at >99% exact post agreement."""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..codec.floor1_codec import Floor1Look
+
+f32 = np.float32
+NEG = -200
+
+
+def _render_point(x0, x1, y0, y1, x):
+    """floor1.c render_point: integer DDA closed form (vector ints)."""
+    y0 = y0 & 0x7FFF
+    y1 = y1 & 0x7FFF
+    dy = y1 - y0
+    adx = x1 - x0
+    err = jnp.abs(dy) * (x - x0)
+    off = err // jnp.maximum(adx, 1)
+    return jnp.where(dy < 0, y0 - off, y0 + off)
+
+
+class DeviceFloorFit:
+    def __init__(self, look: Floor1Look):
+        info = look.info
+        self.look = look
+        self.posts = look.posts
+        self.n = look.n
+        n = self.n
+        P = self.posts
+        sx = np.asarray(look.sorted_x, np.int64)
+        self.sorted_x = sx
+        self.postlist = np.asarray(info.postlist, np.int64)
+        self.forward_index = np.asarray(look.forward_index, np.int64)
+        self.reverse_index = np.argsort(self.forward_index,
+                                        kind="stable")
+        self.lo_static = np.asarray(look.loneighbor, np.int64)
+        self.hi_static = np.asarray(look.hineighbor, np.int64)
+        self.tw = f32(info.twofitweight)
+        self.twofitatten = f32(info.twofitatten)
+        self.maxover = f32(info.maxover)
+        self.maxunder = f32(info.maxunder)
+        self.maxerr = f32(info.maxerr)
+        # accumulate_fit windows are INCLUSIVE of both endpoints
+        # (floor1.c: for(i=x0; i<=x1 && i<n; i++)): boundary bins count
+        # in both adjacent segments, so per-segment sums come from
+        # bin-level prefixes at static [sx[s], min(sx[s+1], n-1)+1)
+        self.n_segs = P - 1
+        self.seg_lo = np.minimum(sx[:-1], n - 1)
+        self.seg_hi = np.minimum(sx[1:], n - 1) + 1
+        self.xg = jnp.asarray(np.arange(n))
+
+    # -- stage 1: quantization + per-segment moments -------------------
+    def _moments(self, quant, above):
+        """quant (B, n) int, above (B, n) bool ->
+        weighted prefix moments (B, S+1, 6) float32 and per-segment
+        an counts (B, S)."""
+        q = quant.astype(jnp.float32)
+        x = jnp.broadcast_to(self.xg.astype(jnp.float32), q.shape)
+        used = quant != 0
+        am = used & above
+        bm = used & ~above
+        ones = jnp.ones_like(q)
+        feats = jnp.stack([x, q, x * x, q * q, x * q, ones], -1)
+
+        def seg_moments(mask):
+            vals = jnp.where(mask[..., None], feats, 0.0)
+            bp = jnp.cumsum(vals, axis=-2)
+            zero = jnp.zeros_like(bp[..., :1, :])
+            bp = jnp.concatenate([zero, bp], axis=-2)   # (B, n+1, 6)
+            return (jnp.take(bp, self.seg_hi, axis=-2)
+                    - jnp.take(bp, self.seg_lo, axis=-2))  # (B, S, 6)
+
+        A = seg_moments(am)
+        Bv = seg_moments(bm)
+        an = A[..., 5]
+        bn = Bv[..., 5]
+        # fit_line weight: (bn+an)*tw/(an+1)+1 per segment (f32)
+        w = ((bn + an) * self.tw / (an + 1.0) + 1.0)[..., None]
+        wm = Bv + A * w
+        prefix = jnp.cumsum(wm, axis=-2)
+        zero = jnp.zeros_like(prefix[..., :1, :])
+        self_prefix = jnp.concatenate([zero, prefix], axis=-2)
+        return self_prefix, an
+
+    def _fit_line(self, prefix, s0, s1, x0, x1):
+        """Weighted LS fit over segments [s0, s1) -> (y0, y1, bad).
+        s0/s1/x0/x1: (B,) ints (dynamic)."""
+        hi = jnp.take_along_axis(prefix, s1[..., None, None].astype(
+            jnp.int32).repeat(6, -1), axis=-2)[..., 0, :]
+        lo = jnp.take_along_axis(prefix, s0[..., None, None].astype(
+            jnp.int32).repeat(6, -1), axis=-2)[..., 0, :]
+        m = hi - lo
+        xb, yb, x2b, y2b, xyb, bn = (m[..., 0], m[..., 1], m[..., 2],
+                                     m[..., 3], m[..., 4], m[..., 5])
+        denom = bn * x2b - xb * xb
+        bad = denom <= 0.0
+        d = jnp.where(bad, 1.0, denom)
+        a = (yb * x2b - xyb * xb) / d
+        b = (bn * xyb - xb * yb) / d
+        y0 = jnp.clip(jnp.rint(a + b * x0), 0, 1023).astype(jnp.int32)
+        y1 = jnp.clip(jnp.rint(a + b * x1), 0, 1023).astype(jnp.int32)
+        y0 = jnp.where(bad, 0, y0)
+        y1 = jnp.where(bad, 0, y1)
+        return y0, y1, bad
+
+    def _inspect(self, quant, above, lx, hx, ly, hy):
+        """inspect_error over dynamic ranges [lx, hx): (B,) verdict."""
+        x = self.xg
+        inr = (x[None, :] >= lx[:, None]) & (x[None, :] < hx[:, None])
+        y = _render_point(lx[:, None], hx[:, None], ly[:, None],
+                          hy[:, None], x[None, :])
+        val = quant
+        diff = y - val
+        # integer mse: |diff| <= 1023, n <= 1024 -> fits int32 exactly
+        # (an f32 sum here loses the low bits of the C int accumulation)
+        mse = jnp.sum(jnp.where(inr, diff * diff, 0), axis=-1)
+        cnt = (hx - lx).astype(jnp.float32)
+        first = x[None, :] == lx[:, None]
+        chk = inr & above & (first | (val != 0))
+        over = chk & ((y.astype(jnp.float32) + self.maxover
+                       < val.astype(jnp.float32))
+                      | (y.astype(jnp.float32) - self.maxunder
+                         > val.astype(jnp.float32)))
+        hard = jnp.any(over, axis=-1)
+        cnti = jnp.maximum(hx - lx, 1)
+        cnt = cnti.astype(jnp.float32)
+        rough_ok = ((self.maxover * self.maxover / cnt > self.maxerr)
+                    | (self.maxunder * self.maxunder / cnt
+                       > self.maxerr))
+        # C: mse/n > maxerr (int division, truncating)
+        mse_bad = (mse // cnti).astype(jnp.float32) > self.maxerr
+        return hard | (~rough_ok & mse_bad)
+
+    # -- the full fit ----------------------------------------------------
+    def __call__(self, logmdct, logmask):
+        """(B, n) spectra -> (posts (B, P) int32 with the 0x8000
+        interpolation flag, used (B,) bool)."""
+        B = logmask.shape[0]
+        P = self.posts
+        quant = jnp.clip((logmask * f32(7.3142857) + f32(1023.5))
+                         .astype(jnp.int32), 0, 1023)
+        above = (logmdct + self.twofitatten) >= logmask
+        prefix, an = self._moments(quant, above)
+        used = jnp.sum(an, axis=-1) > 0
+
+        fitA = jnp.full((B, P), NEG, jnp.int32)
+        fitB = jnp.full((B, P), NEG, jnp.int32)
+        lon = jnp.zeros((B, P), jnp.int32)
+        hin = jnp.ones((B, P), jnp.int32)
+        memo = jnp.full((B, P), -1, jnp.int32)
+
+        zeros = jnp.zeros((B,), jnp.int32)
+        full = jnp.full((B,), self.n_segs, jnp.int32)
+        x0g = jnp.full((B,), int(self.postlist[0]), jnp.int32)
+        x1g = jnp.full((B,), int(self.sorted_x[-1]), jnp.int32)
+        y0, y1, _ = self._fit_line(prefix, zeros, full, x0g, x1g)
+        fitA = fitA.at[:, 0].set(y0)
+        fitB = fitB.at[:, 0].set(y0)
+        fitA = fitA.at[:, 1].set(y1)
+        fitB = fitB.at[:, 1].set(y1)
+
+        def post_Y(A, Bv, idx):
+            a = jnp.take_along_axis(A, idx[:, None], 1)[:, 0]
+            b = jnp.take_along_axis(Bv, idx[:, None], 1)[:, 0]
+            return jnp.where(a < 0, b, jnp.where(b < 0, a,
+                                                 (a + b) >> 1))
+
+        postlist = jnp.asarray(self.postlist)
+        rev = jnp.asarray(self.reverse_index)
+        ar = jnp.arange(P)
+        for i in range(2, P):
+            sortpos = int(self.reverse_index[i])
+            ln = jnp.take_along_axis(
+                lon, jnp.full((B, 1), sortpos, jnp.int32), 1)[:, 0]
+            hn = jnp.take_along_axis(
+                hin, jnp.full((B, 1), sortpos, jnp.int32), 1)[:, 0]
+            already = jnp.take_along_axis(memo, ln[:, None],
+                                          1)[:, 0] == hn
+            lsort = jnp.take(rev, ln)
+            hsort = jnp.take(rev, hn)
+            memo = _scatter_set(memo, ln, hn)
+            lx = jnp.take(postlist, ln).astype(jnp.int32)
+            hx = jnp.take(postlist, hn).astype(jnp.int32)
+            ly = post_Y(fitA, fitB, ln)
+            hy = post_Y(fitA, fitB, hn)
+            bad = self._inspect(quant, above, lx, hx, ly, hy)
+            act = bad & ~already
+            sp = jnp.full((B,), sortpos, jnp.int32)
+            ly0, ly1, ret0 = self._fit_line(prefix, lsort.astype(
+                jnp.int32), sp, lx, sp_x := jnp.full(
+                    (B,), int(self.sorted_x[sortpos]), jnp.int32))
+            hy0, hy1, ret1 = self._fit_line(prefix, sp, hsort.astype(
+                jnp.int32), sp_x, hx)
+            # degenerate handling (floor1.c:668-684)
+            ly0 = jnp.where(ret0, ly, ly0)
+            ly1 = jnp.where(ret0, hy0, ly1)
+            hy0 = jnp.where(ret1, ly1, hy0)
+            hy1 = jnp.where(ret1, hy, hy1)
+            both = ret0 & ret1
+            upd = act & ~both
+            fitB = _scatter_where(fitB, ln, ly0, upd)
+            fitA = jnp.where((upd & (ln == 0))[:, None] & (ar == 0),
+                             ly0[:, None], fitA)
+            fitA = jnp.where(upd[:, None] & (ar == i), ly1[:, None],
+                             fitA)
+            fitB = jnp.where(upd[:, None] & (ar == i), hy0[:, None],
+                             fitB)
+            fitA = _scatter_where(fitA, hn, hy1, upd)
+            fitB = _scatter_where(
+                fitB, hn, hy1, upd & (hn == 1))
+            fitA = jnp.where((act & both)[:, None] & (ar == i),
+                             NEG, fitA)
+            fitB = jnp.where((act & both)[:, None] & (ar == i),
+                             NEG, fitB)
+            # neighbor propagation (contiguous runs adjacent to
+            # sortpos with matching neighbor values)
+            prop = upd & ((ly1 >= 0) | (hy0 >= 0))
+            if sortpos > 0:
+                below = ar < sortpos
+                match = hin == hn[:, None]
+                runb = jnp.cumsum(
+                    jnp.where(below & match, 0, 1)[:, ::-1], 1)[:, ::-1]
+                runb = runb == runb[:, sortpos:sortpos + 1]
+                hin = jnp.where((prop[:, None] & below & match & runb),
+                                i, hin)
+            if sortpos + 1 < P:
+                abv = ar > sortpos
+                matchl = lon == ln[:, None]
+                runa = jnp.cumsum(jnp.where(abv & matchl, 0, 1), 1)
+                runa = runa == runa[:, sortpos:sortpos + 1]
+                lon = jnp.where((prop[:, None] & abv & matchl & runa),
+                                i, lon)
+
+        # final output walk (floor1.c:735-750) with STATIC decode-side
+        # neighbors; sequential in i but only over (B,) lanes
+        out = jnp.zeros((B, P), jnp.int32)
+        out = out.at[:, 0].set(post_Y(fitA, fitB, jnp.zeros(
+            (B,), jnp.int32)))
+        out = out.at[:, 1].set(post_Y(fitA, fitB, jnp.ones(
+            (B,), jnp.int32)))
+        for i in range(2, P):
+            ln0 = int(self.lo_static[i - 2])
+            hn0 = int(self.hi_static[i - 2])
+            pred = _render_point(
+                jnp.full((B,), int(self.postlist[ln0]), jnp.int32),
+                jnp.full((B,), int(self.postlist[hn0]), jnp.int32),
+                out[:, ln0], out[:, hn0],
+                jnp.full((B,), int(self.postlist[i]), jnp.int32))
+            vx = post_Y(fitA, fitB, jnp.full((B,), i, jnp.int32))
+            keep = (vx >= 0) & (pred != vx)
+            out = out.at[:, i].set(jnp.where(keep, vx, pred | 0x8000))
+        return out, used
+
+
+    # -- rendering (reference: floor1_encode post quantization +
+    # render_line / FLOOR1_fromdB_LOOKUP) -------------------------------
+    def quantize_posts(self, posts):
+        """fit posts (B, P) -> stream-quantized posts with flags
+        (floor1_encode's mult division + prediction re-flagging)."""
+        info = self.look.info
+        val = posts & 0x7FFF
+        if info.mult == 1:
+            val = val >> 2
+        elif info.mult == 2:
+            val = val >> 3
+        elif info.mult == 3:
+            val = val // 12
+        else:
+            val = val >> 4
+        post = val | (posts & 0x8000)
+        B = posts.shape[0]
+        out = jnp.zeros_like(post)
+        out = out.at[:, 0].set(post[:, 0])
+        out = out.at[:, 1].set(post[:, 1])
+        for i in range(2, self.posts):
+            ln0 = int(self.lo_static[i - 2])
+            hn0 = int(self.hi_static[i - 2])
+            pred = _render_point(
+                jnp.full((B,), int(self.postlist[ln0]), jnp.int32),
+                jnp.full((B,), int(self.postlist[hn0]), jnp.int32),
+                out[:, ln0], out[:, hn0],
+                jnp.full((B,), int(self.postlist[i]), jnp.int32))
+            flag = ((post[:, i] & 0x8000) != 0) | (pred == post[:, i])
+            out = out.at[:, i].set(
+                jnp.where(flag, pred | 0x8000, post[:, i]))
+        return out
+
+    def render(self, qposts, fromdB_table):
+        """Quantized posts (B, P) -> gain curve (B, n) float32, the
+        same curve the decoder renders (render_line + fromdB)."""
+        look = self.look
+        mult = look.info.mult
+        n = self.n
+        B = qposts.shape[0]
+        P = self.posts
+        fwd = self.forward_index
+        # per sorted position: static x, dynamic (y, used)
+        ys = jnp.clip((qposts[:, fwd] & 0x7FFF) * mult, 0, 255)
+        used = (qposts[:, fwd] & 0x8000) == 0
+        used = used.at[:, 0].set(True)   # post 0 always anchors
+        # true x drives the DDA (a post may sit at x == n, e.g. the
+        # postlist[1] endpoint); only the scatter bins are clipped
+        xs = np.asarray(self.sorted_x)
+        # left bracket per bin: scatter sorted index at its bin, then
+        # running max forward-fill (posts at x >= n can never be a
+        # left anchor)
+        stage = jnp.full((B, n), -1, jnp.int32)
+        for j in range(P):
+            if xs[j] < n:
+                stage = stage.at[:, int(xs[j])].max(
+                    jnp.where(used[:, j], j, -1))
+        left = jax.lax.associative_scan(jnp.maximum, stage, axis=-1)
+        left = jnp.maximum(left, 0)
+        # right bracket: running min of +inf-filled backward
+        stage2 = jnp.full((B, n), P, jnp.int32)
+        for j in range(P - 1, 0, -1):
+            stage2 = stage2.at[:, int(min(xs[j], n - 1))].min(
+                jnp.where(used[:, j], j, P))
+        right = jax.lax.associative_scan(
+            jnp.minimum, stage2[:, ::-1], axis=-1)[:, ::-1]
+        sxj = jnp.asarray(xs)
+        lx = jnp.take(sxj, left, axis=0)
+        ly = jnp.take_along_axis(ys, left, axis=1)
+        has_r = right < P
+        rz = jnp.minimum(right, P - 1)
+        hx = jnp.take(sxj, rz, axis=0)
+        hy = jnp.take_along_axis(ys, rz, axis=1)
+        t = jnp.broadcast_to(self.xg, (B, n))
+        # past the last used post the curve holds ly; at the exact post
+        # bin render_line writes ly
+        seg = has_r & (hx > lx) & (t >= lx)
+        y = jnp.where(seg, _render_point(lx, hx, ly, hy, t), ly)
+        # bins beyond the last breakpoint bracketing (t between lx and
+        # hx exclusive handled above; t == hx belongs to next segment
+        # whose lx == hx, handled since left updates at that bin)
+        y = jnp.clip(y, 0, 255)
+        return jnp.take(fromdB_table, y, axis=0)
+
+
+def _scatter_set(arr, idx, val):
+    """arr (B, P); arr[b, idx[b]] = val[b]."""
+    return arr.at[jnp.arange(arr.shape[0]), idx].set(val)
+
+
+def _scatter_where(arr, idx, val, cond):
+    cur = jnp.take_along_axis(arr, idx[:, None], 1)[:, 0]
+    new = jnp.where(cond, val, cur)
+    return arr.at[jnp.arange(arr.shape[0]), idx].set(new)
