@@ -219,7 +219,10 @@ def local_book_besterror(book, a, off):
         # lattice miss: brute-force scan following the vq tool's value
         # patterning
         best = -1
-        e = [0] * dim
+        # C uses a fixed e[8]; the odometer walk can step one past the
+        # active dims on the final iteration (res0.c:363-367), so keep
+        # guard slots like the C array does
+        e = [0] * (dim + 2)
         maxval = minval + delta * (qv - 1)
         for i in range(book.entries):
             if book.lengths[i] > 0:
