@@ -165,6 +165,42 @@ class BitWriter:
         return bytes(out)
 
 
+class FieldWriter:
+    """BitWriter-compatible collector: records (value, nbits) fields
+    and packs them in ONE native pass at getvalue() time
+    (native/vorbisnative.c vn_pack_bits).  Drop-in for code that calls
+    w.write(v, n) / book.encode(w, e); write_array() takes whole
+    codeword vectors (the residue fast path's bulk emission)."""
+
+    __slots__ = ("_vals", "_lens")
+
+    def __init__(self):
+        self._vals = []
+        self._lens = []
+
+    def write(self, value: int, n: int) -> None:
+        if n:
+            self._vals.append(value)
+            self._lens.append(n)
+
+    def write_array(self, values, nbits) -> None:
+        values = np.asarray(values)
+        nbits = np.asarray(nbits)
+        self._vals.extend(values.tolist())
+        self._lens.extend(nbits.tolist())
+
+    def bit_length(self) -> int:
+        return int(np.sum(self._lens, dtype=np.int64)) if self._lens \
+            else 0
+
+    def getvalue(self) -> bytes:
+        if not self._vals:
+            return b""
+        data, _ = pack_bits_array(np.asarray(self._vals, np.uint64),
+                                  np.asarray(self._lens, np.int64))
+        return data
+
+
 def pack_bits_array(values: np.ndarray, nbits: np.ndarray) -> tuple[bytes, int]:
     """Vectorized LSB-first packer.
 

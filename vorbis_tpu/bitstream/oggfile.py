@@ -36,6 +36,10 @@ _CRC_TABLE = _make_crc_table()
 
 
 def ogg_crc(data: bytes, crc: int = 0) -> int:
+    from ..native import ogg_crc as _native_crc
+    r = _native_crc(data, crc)
+    if r is not None:
+        return r
     tbl = _CRC_TABLE
     for b in data:
         crc = ((crc << 8) & 0xFFFFFFFF) ^ int(tbl[((crc >> 24) & 0xFF) ^ b])

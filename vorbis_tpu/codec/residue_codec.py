@@ -310,9 +310,17 @@ def res2_class(look: ResidueLook, in_ch, ch):
     return partword
 
 
-def res01_forward(w, look: ResidueLook, in_ch, ch, partword):
+def res01_forward(w, look: ResidueLook, in_ch, ch, partword,
+                  entries=None):
     """Encode residues (types 0/1 layout; res2 calls with the
-    interleaved single vector)."""
+    interleaved single vector).
+
+    entries: optional precomputed VQ decisions (e.g. from the device
+    fast path, ops/residue_device.py): entries[j][s][i] is an int
+    array of the partition's per-value entry numbers with each
+    sub-vector's entry at index t*book.dim; when given, the
+    local_book_besterror scans are skipped and the codewords are
+    emitted directly."""
     info = look.info
     spp = info.grouping
     possible = info.partitions
@@ -340,7 +348,19 @@ def res01_forward(w, look: ResidueLook, in_ch, ch, partword):
                     if info.secondstages[cls] & (1 << s):
                         book = look.partbooks[cls][s]
                         if book is not None:
-                            encodepart(w, in_ch[j], offset, spp, book)
+                            if entries is not None:
+                                row = np.asarray(entries[j][s][i])
+                                ents = row[::book.dim]
+                                if hasattr(w, "write_array"):
+                                    w.write_array(
+                                        book.codewords[ents],
+                                        book.lengths[ents])
+                                else:
+                                    for e in ents:
+                                        book.encode(w, int(e))
+                            else:
+                                encodepart(w, in_ch[j], offset, spp,
+                                           book)
                 k += 1
                 i += 1
 

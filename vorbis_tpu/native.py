@@ -44,6 +44,10 @@ def _load():
         np.ctypeslib.ndpointer(np.uint8, flags="C"), C.c_long,
         C.POINTER(C.c_long), C.c_int,
         np.ctypeslib.ndpointer(np.int64, flags="C"), C.c_long]
+    L.vn_ogg_crc.restype = C.c_long
+    L.vn_ogg_crc.argtypes = [
+        np.ctypeslib.ndpointer(np.uint8, flags="C"), C.c_long,
+        C.c_uint32]
     L.vn_huff_decode.restype = C.c_long
     L.vn_huff_decode.argtypes = [
         np.ctypeslib.ndpointer(np.uint8, flags="C"), C.c_long,
@@ -128,3 +132,12 @@ class HuffDecoder:
                                self.K, self.sec, self.offs, self.K2,
                                out, count)
         return out[:got], int(p.value), int(got)
+
+
+def ogg_crc(data: bytes, crc: int = 0):
+    """Native Ogg CRC; returns None if the library is unavailable."""
+    L = _load()
+    if L is None:
+        return None
+    arr = np.frombuffer(bytes(data), np.uint8)
+    return int(L.vn_ogg_crc(arr, len(arr), crc)) & 0xFFFFFFFF

@@ -188,32 +188,38 @@ class DeviceFloorFit:
             return jnp.where(a < 0, b, jnp.where(b < 0, a,
                                                  (a + b) >> 1))
 
-        postlist = jnp.asarray(self.postlist)
-        rev = jnp.asarray(self.reverse_index)
+        postlist = jnp.asarray(self.postlist.astype(np.int32))
+        rev = jnp.asarray(self.reverse_index.astype(np.int32))
+        sx32 = jnp.asarray(self.sorted_x.astype(np.int32))
         ar = jnp.arange(P)
-        for i in range(2, P):
-            sortpos = int(self.reverse_index[i])
-            ln = jnp.take_along_axis(
-                lon, jnp.full((B, 1), sortpos, jnp.int32), 1)[:, 0]
-            hn = jnp.take_along_axis(
-                hin, jnp.full((B, 1), sortpos, jnp.int32), 1)[:, 0]
+        bidx = jnp.arange(B)
+
+        # one traced loop body with per-iteration statics looked up
+        # from stacked tables — keeps the HLO small (the Python-
+        # unrolled version took minutes to compile)
+        def body(i, state):
+            fitA, fitB, lon, hin, memo = state
+            sortpos = jnp.take(rev, i)
+            ln = lon[bidx, sortpos]
+            hn = hin[bidx, sortpos]
             already = jnp.take_along_axis(memo, ln[:, None],
                                           1)[:, 0] == hn
             lsort = jnp.take(rev, ln)
             hsort = jnp.take(rev, hn)
-            memo = _scatter_set(memo, ln, hn)
-            lx = jnp.take(postlist, ln).astype(jnp.int32)
-            hx = jnp.take(postlist, hn).astype(jnp.int32)
+            memo = memo.at[bidx, ln].set(hn)
+            lx = jnp.take(postlist, ln)
+            hx = jnp.take(postlist, hn)
             ly = post_Y(fitA, fitB, ln)
             hy = post_Y(fitA, fitB, hn)
             bad = self._inspect(quant, above, lx, hx, ly, hy)
             act = bad & ~already
-            sp = jnp.full((B,), sortpos, jnp.int32)
-            ly0, ly1, ret0 = self._fit_line(prefix, lsort.astype(
-                jnp.int32), sp, lx, sp_x := jnp.full(
-                    (B,), int(self.sorted_x[sortpos]), jnp.int32))
-            hy0, hy1, ret1 = self._fit_line(prefix, sp, hsort.astype(
-                jnp.int32), sp_x, hx)
+            sp = jnp.full((B,), 0, jnp.int32) + sortpos
+            sp_x = jnp.full((B,), 0, jnp.int32) + jnp.take(sx32,
+                                                           sortpos)
+            ly0, ly1, ret0 = self._fit_line(prefix, lsort, sp, lx,
+                                            sp_x)
+            hy0, hy1, ret1 = self._fit_line(prefix, sp, hsort, sp_x,
+                                            hx)
             # degenerate handling (floor1.c:668-684)
             ly0 = jnp.where(ret0, ly, ly0)
             ly1 = jnp.where(ret0, hy0, ly1)
@@ -221,38 +227,45 @@ class DeviceFloorFit:
             hy1 = jnp.where(ret1, hy, hy1)
             both = ret0 & ret1
             upd = act & ~both
-            fitB = _scatter_where(fitB, ln, ly0, upd)
-            fitA = jnp.where((upd & (ln == 0))[:, None] & (ar == 0),
-                             ly0[:, None], fitA)
-            fitA = jnp.where(upd[:, None] & (ar == i), ly1[:, None],
-                             fitA)
-            fitB = jnp.where(upd[:, None] & (ar == i), hy0[:, None],
-                             fitB)
-            fitA = _scatter_where(fitA, hn, hy1, upd)
-            fitB = _scatter_where(
-                fitB, hn, hy1, upd & (hn == 1))
-            fitA = jnp.where((act & both)[:, None] & (ar == i),
-                             NEG, fitA)
-            fitB = jnp.where((act & both)[:, None] & (ar == i),
-                             NEG, fitB)
-            # neighbor propagation (contiguous runs adjacent to
-            # sortpos with matching neighbor values)
+            cur = fitB[bidx, ln]
+            fitB = fitB.at[bidx, ln].set(jnp.where(upd, ly0, cur))
+            is0 = upd & (ln == 0)
+            fitA = fitA.at[:, 0].set(jnp.where(is0, ly0, fitA[:, 0]))
+            fitA = fitA.at[bidx, i].set(jnp.where(upd, ly1,
+                                                  fitA[bidx, i]))
+            fitB = fitB.at[bidx, i].set(jnp.where(upd, hy0,
+                                                  fitB[bidx, i]))
+            cur = fitA[bidx, hn]
+            fitA = fitA.at[bidx, hn].set(jnp.where(upd, hy1, cur))
+            cur = fitB[bidx, hn]
+            fitB = fitB.at[bidx, hn].set(
+                jnp.where(upd & (hn == 1), hy1, cur))
+            neg = act & both
+            fitA = fitA.at[bidx, i].set(jnp.where(neg, NEG,
+                                                  fitA[bidx, i]))
+            fitB = fitB.at[bidx, i].set(jnp.where(neg, NEG,
+                                                  fitB[bidx, i]))
+            # neighbor propagation: contiguous runs adjacent to sortpos
             prop = upd & ((ly1 >= 0) | (hy0 >= 0))
-            if sortpos > 0:
-                below = ar < sortpos
-                match = hin == hn[:, None]
-                runb = jnp.cumsum(
-                    jnp.where(below & match, 0, 1)[:, ::-1], 1)[:, ::-1]
-                runb = runb == runb[:, sortpos:sortpos + 1]
-                hin = jnp.where((prop[:, None] & below & match & runb),
-                                i, hin)
-            if sortpos + 1 < P:
-                abv = ar > sortpos
-                matchl = lon == ln[:, None]
-                runa = jnp.cumsum(jnp.where(abv & matchl, 0, 1), 1)
-                runa = runa == runa[:, sortpos:sortpos + 1]
-                lon = jnp.where((prop[:, None] & abv & matchl & runa),
-                                i, lon)
+            below = ar[None, :] < sortpos
+            match = hin == hn[:, None]
+            gaps = jnp.where(below & match, 0, 1)
+            runb = jnp.cumsum(gaps[:, ::-1], 1)[:, ::-1]
+            runb = runb == jnp.take_along_axis(
+                runb, jnp.broadcast_to(sortpos, (B,))[:, None], 1)
+            hin = jnp.where(prop[:, None] & below & match & runb,
+                            i, hin)
+            abv = ar[None, :] > sortpos
+            matchl = lon == ln[:, None]
+            runa = jnp.cumsum(jnp.where(abv & matchl, 0, 1), 1)
+            runa = runa == jnp.take_along_axis(
+                runa, jnp.broadcast_to(sortpos, (B,))[:, None], 1)
+            lon = jnp.where(prop[:, None] & abv & matchl & runa,
+                            i, lon)
+            return fitA, fitB, lon, hin, memo
+
+        fitA, fitB, lon, hin, memo = jax.lax.fori_loop(
+            2, P, body, (fitA, fitB, lon, hin, memo))
 
         # final output walk (floor1.c:735-750) with STATIC decode-side
         # neighbors; sequential in i but only over (B,) lanes
@@ -261,17 +274,24 @@ class DeviceFloorFit:
             (B,), jnp.int32)))
         out = out.at[:, 1].set(post_Y(fitA, fitB, jnp.ones(
             (B,), jnp.int32)))
-        for i in range(2, P):
-            ln0 = int(self.lo_static[i - 2])
-            hn0 = int(self.hi_static[i - 2])
+        lo_t = jnp.asarray(self.lo_static.astype(np.int32))
+        hi_t = jnp.asarray(self.hi_static.astype(np.int32))
+        pl_t = jnp.asarray(self.postlist.astype(np.int32))
+
+        def walk(i, out):
+            ln0 = jnp.take(lo_t, i - 2)
+            hn0 = jnp.take(hi_t, i - 2)
             pred = _render_point(
-                jnp.full((B,), int(self.postlist[ln0]), jnp.int32),
-                jnp.full((B,), int(self.postlist[hn0]), jnp.int32),
-                out[:, ln0], out[:, hn0],
-                jnp.full((B,), int(self.postlist[i]), jnp.int32))
-            vx = post_Y(fitA, fitB, jnp.full((B,), i, jnp.int32))
+                jnp.broadcast_to(jnp.take(pl_t, ln0), (B,)),
+                jnp.broadcast_to(jnp.take(pl_t, hn0), (B,)),
+                out[bidx, ln0], out[bidx, hn0],
+                jnp.broadcast_to(jnp.take(pl_t, i), (B,)))
+            vx = post_Y(fitA, fitB, jnp.broadcast_to(i, (B,))
+                        .astype(jnp.int32))
             keep = (vx >= 0) & (pred != vx)
-            out = out.at[:, i].set(jnp.where(keep, vx, pred | 0x8000))
+            return out.at[:, i].set(jnp.where(keep, vx, pred | 0x8000))
+
+        out = jax.lax.fori_loop(2, P, walk, out)
         return out, used
 
 
@@ -292,21 +312,27 @@ class DeviceFloorFit:
             val = val >> 4
         post = val | (posts & 0x8000)
         B = posts.shape[0]
+        bidx = jnp.arange(B)
         out = jnp.zeros_like(post)
         out = out.at[:, 0].set(post[:, 0])
         out = out.at[:, 1].set(post[:, 1])
-        for i in range(2, self.posts):
-            ln0 = int(self.lo_static[i - 2])
-            hn0 = int(self.hi_static[i - 2])
+        lo_t = jnp.asarray(self.lo_static.astype(np.int32))
+        hi_t = jnp.asarray(self.hi_static.astype(np.int32))
+        pl_t = jnp.asarray(self.postlist.astype(np.int32))
+
+        def body(i, out):
+            ln0 = jnp.take(lo_t, i - 2)
+            hn0 = jnp.take(hi_t, i - 2)
             pred = _render_point(
-                jnp.full((B,), int(self.postlist[ln0]), jnp.int32),
-                jnp.full((B,), int(self.postlist[hn0]), jnp.int32),
-                out[:, ln0], out[:, hn0],
-                jnp.full((B,), int(self.postlist[i]), jnp.int32))
+                jnp.broadcast_to(jnp.take(pl_t, ln0), (B,)),
+                jnp.broadcast_to(jnp.take(pl_t, hn0), (B,)),
+                out[bidx, ln0], out[bidx, hn0],
+                jnp.broadcast_to(jnp.take(pl_t, i), (B,)))
             flag = ((post[:, i] & 0x8000) != 0) | (pred == post[:, i])
-            out = out.at[:, i].set(
+            return out.at[:, i].set(
                 jnp.where(flag, pred | 0x8000, post[:, i]))
-        return out
+
+        return jax.lax.fori_loop(2, self.posts, body, out)
 
     def render(self, qposts, fromdB_table):
         """Quantized posts (B, P) -> gain curve (B, n) float32, the
