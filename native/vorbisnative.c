@@ -154,3 +154,20 @@ long vn_ogg_crc(const uint8_t *data, long n, uint32_t crc)
         crc = (crc << 8) ^ tbl[((crc >> 24) & 0xFF) ^ data[i]];
     return (long)crc;
 }
+
+/* Pack F packets in one call.  values/nbits are (F, C) row-major;
+ * out receives the packed packets back to back at byte offsets
+ * off[f] (caller-computed); returns total bytes written. */
+long vn_pack_bits_multi(const uint64_t *values, const int32_t *nbits,
+                        long F, long C, uint8_t *out,
+                        const int64_t *off, int64_t *nbytes)
+{
+    long total = 0;
+    for (long f = 0; f < F; f++) {
+        long bits = vn_pack_bits(values + f * C, nbits + f * C, C,
+                                 out + off[f]);
+        nbytes[f] = (bits + 7) >> 3;
+        total += nbytes[f];
+    }
+    return total;
+}

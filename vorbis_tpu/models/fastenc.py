@@ -25,8 +25,7 @@ import jax.numpy as jnp
 from ..bitstream.bitpack import FieldWriter, ilog
 from ..bitstream.oggfile import OggStreamWriter
 from ..codec.encoder import Encoder
-from ..codec.floor1_codec import floor1_encode, fromdB_lookup
-from ..codec.residue_codec import res01_forward
+from ..codec.floor1_codec import fromdB_lookup
 from ..ops.floor_device import DeviceFloorFit
 from ..ops.jaxdsp import DeviceAnalysis
 from ..ops.residue_device import DeviceResidueVQ
@@ -105,7 +104,211 @@ class FastEncoder:
             resv = res
         pw = self.dvq.classify(resv.astype(jnp.int32))
         entries, rem = self.dvq.encode(resv, pw)
-        return posts, used, pw, entries
+        # compact dtypes: the device->host transfer rides a tunnel.
+        # uint16 keeps the 0x8000 interpolation flag positive.
+        return (posts.astype(jnp.uint16), used,
+                pw.astype(jnp.int8),
+                [e.astype(jnp.uint16) for e in entries])
+
+    # -- host side: batched field construction ---------------------------
+    def _build_field_layout(self):
+        """Precompute the per-packet bit-field column layout: every
+        potential (value, nbits) slot in emission order, with static
+        metadata for the batched fill.  Called once."""
+        # nothing to precompute beyond what __init__ holds; the layout
+        # is realized inside _pack_frames
+        pass
+
+    def _floor_fields(self, posts, used):
+        """posts (F, P) raw fit posts, used (F,) -> (vals, lens, mask)
+        (F, C) field arrays for one channel's floor, vectorized
+        across frames (floor1_encode, floor1.c:774-974)."""
+        look = self.fl_look
+        info = look.info
+        F, P = posts.shape
+        post = posts.astype(np.int64)
+        val = post & 0x7FFF
+        m = info.mult
+        val = (val >> 2 if m == 1 else val >> 3 if m == 2
+               else val // 12 if m == 3 else val >> 4)
+        post = val | (post & 0x8000)
+        out = np.zeros((F, P), np.int64)
+        out[:, 0] = post[:, 0]
+        out[:, 1] = post[:, 1]
+        quant_q = look.quant_q
+        pl = np.asarray(info.postlist, np.int64)
+        for i in range(2, P):
+            ln = int(look.loneighbor[i - 2])
+            hn = int(look.hineighbor[i - 2])
+            y0 = post[:, ln] & 0x7FFF
+            y1 = post[:, hn] & 0x7FFF
+            dy = y1 - y0
+            adx = int(pl[hn] - pl[ln])
+            err = np.abs(dy) * int(pl[i] - pl[ln])
+            off = err // adx
+            predicted = np.where(dy < 0, y0 - off, y0 + off)
+            flag = ((post[:, i] & 0x8000) != 0) | (predicted
+                                                   == post[:, i])
+            headroom = np.minimum(quant_q - predicted, predicted)
+            v = post[:, i] - predicted
+            vneg = np.where(v < -headroom, headroom - v - 1,
+                            -1 - (v << 1))
+            vpos = np.where(v >= headroom, v + headroom, v << 1)
+            code = np.where(v < 0, vneg, vpos)
+            out[:, i] = np.where(flag, 0, code)
+            post[:, i] = np.where(flag, predicted | 0x8000, post[:, i])
+            unflag = ~flag
+            post[:, ln] = np.where(unflag, post[:, ln] & 0x7FFF,
+                                   post[:, ln])
+            post[:, hn] = np.where(unflag, post[:, hn] & 0x7FFF,
+                                   post[:, hn])
+        # field assembly
+        vals, lens, masks = [], [], []
+
+        def add(v, l, mk=None):
+            vals.append(np.asarray(v, np.uint64))
+            lens.append(np.asarray(np.broadcast_to(l, (F,)), np.int64))
+            masks.append(np.ones(F, bool) if mk is None
+                         else np.asarray(mk, bool))
+
+        add(np.where(used, 1, 0), 1)          # nonzero flag
+        qb = ilog(quant_q - 1)
+        add(out[:, 0], np.where(used, qb, 0))
+        add(out[:, 1], np.where(used, qb, 0))
+        j = 2
+        vi_books = self.vi.books
+        sbooks = self.vi.static_books
+        for i in range(info.partitions):
+            cls = info.partitionclass[i]
+            cdim = info.class_dim[cls]
+            csubbits = info.class_subs[cls]
+            csub = 1 << csubbits
+            maxval = np.array([1 if info.class_subbook[cls][k] < 0
+                               else sbooks[info.class_subbook[cls][k]]
+                               .entries for k in range(csub)], np.int64)
+            seg = out[:, j:j + cdim]          # (F, cdim)
+            cond = seg[:, :, None] < maxval[None, None, :]
+            anyc = cond.any(-1)
+            bookas = np.where(anyc, cond.argmax(-1), 0)  # (F, cdim)
+            if csubbits:
+                shifts = (np.arange(cdim) * csubbits)[None, :]
+                cval = (bookas << shifts).sum(-1)
+                cb = vi_books[info.class_book[cls]]
+                add(cb.codewords[cval], 0, None)
+                lens[-1] = np.where(used, cb.lengths[cval], 0)
+            for k in range(cdim):
+                booknum = np.array(info.class_subbook[cls],
+                                   np.int64)[bookas[:, k]]
+                # gather codeword/length per frame from the (<=8)
+                # candidate subbooks
+                v_k = np.zeros(F, np.uint64)
+                l_k = np.zeros(F, np.int64)
+                ok = np.zeros(F, bool)
+                for l in range(csub):
+                    bn = info.class_subbook[cls][l]
+                    if bn < 0:
+                        continue
+                    bk = vi_books[bn]
+                    sel = (bookas[:, k] == l) & (seg[:, k]
+                                                 < bk.entries)
+                    if not sel.any():
+                        continue
+                    ent = seg[sel, k]
+                    v_k[sel] = bk.codewords[ent].astype(np.uint64)
+                    l_k[sel] = bk.lengths[ent]
+                    ok |= sel
+                add(v_k, 0, ok & used)
+                lens[-1] = l_k
+            j += cdim
+        return (np.stack(vals, 1), np.stack(lens, 1),
+                np.stack(masks, 1))
+
+    def _residue_fields(self, pw, entries, nzmask):
+        """pw (ch, F, parts), entries list[s] (ch, F, parts, spp),
+        nzmask (ch, F) -> (vals, lens, mask) (F, C) in res01_forward
+        emission order.  Channels with a zeroed floor are skipped like
+        the reference (nonzero gating in mapping0)."""
+        look = self.res_look
+        info = look.info
+        ch, F, parts = pw.shape
+        spp = info.grouping
+        ppw = look.dim
+        stages = look.stages
+        possible = info.partitions
+        sec = np.asarray(info.secondstages, np.int64)
+        phr = look.phrasebook
+        vals, lens, masks = [], [], []
+
+        def add(v, l, mk):
+            vals.append(np.asarray(v, np.uint64))
+            lens.append(np.asarray(l, np.int64))
+            masks.append(np.asarray(mk, bool))
+
+        # stacked per-class codeword tables per stage
+        maxent = max((b.entries for row in look.partbooks for b in row
+                      if b is not None), default=1)
+        cw = np.zeros((stages, possible, maxent), np.uint64)
+        cl = np.zeros((stages, possible, maxent), np.int64)
+        dims = np.ones((stages, possible), np.int64)
+        has = np.zeros((stages, possible), bool)
+        for c in range(possible):
+            for s in range(len(look.partbooks[c])):
+                b = look.partbooks[c][s]
+                if b is None:
+                    continue
+                cw[s, c, :b.entries] = b.codewords.astype(np.uint64)
+                cl[s, c, :b.entries] = b.lengths
+                dims[s, c] = b.dim
+                has[s, c] = True
+
+        nchunks = (parts + ppw - 1) // ppw
+        for s in range(stages):
+            max_steps = (spp // int(dims[s][has[s]].min())
+                         if has[s].any() else 1)
+            # phrase words (stage 0 only): vectorized digit packing
+            if s == 0:
+                pwp = np.zeros((ch, F, nchunks * ppw), np.int64)
+                pwp[..., :parts] = pw
+                ph_v = np.zeros((ch, F, nchunks), np.int64)
+                for k in range(ppw):
+                    ph_v = ph_v * possible
+                    ph_v = ph_v + pwp[..., k::ppw][..., :nchunks]
+                ph_ok = (ph_v < phr.entries) & nzmask[:, :, None]
+                ph_v = np.where(ph_ok, ph_v, 0)
+                ph_cw = phr.codewords[ph_v].astype(np.uint64)
+                ph_cl = np.asarray(phr.lengths)[ph_v].astype(np.int64)
+            # entry codewords: (ch, F, parts, max_steps) vectorized
+            cls = pw.astype(np.int64)                  # (ch, F, parts)
+            act = (((sec[cls] & (1 << s)) != 0) & has[s, cls]
+                   & nzmask[:, :, None])
+            d = dims[s, cls]                           # (ch, F, parts)
+            t = np.arange(max_steps)
+            idx = d[..., None] * t                     # (...,max_steps)
+            inr = (idx < spp) & act[..., None]
+            e = np.take_along_axis(
+                entries[s].astype(np.int64),
+                np.minimum(idx, spp - 1), axis=-1)
+            e = np.maximum(np.where(inr, e, 0), 0)
+            ev = cw[s][cls[..., None], e]              # uint64
+            el = cl[s][cls[..., None], e]
+            # emission order: per chunk: [phrase x ch (s==0)] then per
+            # partition in chunk: per channel: its steps
+            for c0 in range(nchunks):
+                if s == 0:
+                    for j in range(ch):
+                        add(ph_cw[j, :, c0], ph_cl[j, :, c0],
+                            ph_ok[j, :, c0])
+                for i in range(c0 * ppw, min((c0 + 1) * ppw, parts)):
+                    for j in range(ch):
+                        vals.append(ev[j, :, i, :].astype(np.uint64))
+                        lens.append(el[j, :, i, :])
+                        masks.append(inr[j, :, i, :])
+        # concatenate mixed (F,) and (F, max_steps) columns
+        vs = [v[:, None] if v.ndim == 1 else v for v in vals]
+        ls = [v[:, None] if v.ndim == 1 else v for v in lens]
+        ms = [v[:, None] if v.ndim == 1 else v for v in masks]
+        return (np.concatenate(vs, 1), np.concatenate(ls, 1),
+                np.concatenate(ms, 1))
 
     # -- host side ---------------------------------------------------------
     def _frame(self, pcm):
@@ -141,38 +344,46 @@ class FastEncoder:
         w.packetin(h3, 0)
         w.flush()
 
-        vi = self.vi
         n2 = self.n // 2
         hop = n2
+
+        # batched field construction: every potential (value, nbits)
+        # column across all frames, then ONE native pack per packet
+        cols_v = [np.zeros((F, 1), np.uint64),
+                  np.full((F, 1), self.mode_idx, np.uint64),
+                  np.ones((F, 1), np.uint64),
+                  np.ones((F, 1), np.uint64)]
+        cols_l = [np.ones((F, 1), np.int64),
+                  np.full((F, 1), self.modebits, np.int64),
+                  np.ones((F, 1), np.int64),
+                  np.ones((F, 1), np.int64)]
+        for c in range(ch):
+            fv, fl, fm = self._floor_fields(posts[c], used[c])
+            cols_v.append(fv)
+            cols_l.append(np.where(fm, fl, 0))
+        rv, rl, rm = self._residue_fields(pw, entries, used)
+        cols_v.append(rv)
+        cols_l.append(np.where(rm, rl, 0))
+        allv = np.ascontiguousarray(np.concatenate(cols_v, 1))
+        alll = np.concatenate(cols_l, 1).astype(np.int32)
+
+        from ..native import pack_bits_multi
+        pkts = pack_bits_multi(allv, alll)
+        if pkts is None:                      # no native lib: fallback
+            pkts = []
+            for f in range(F):
+                bw = FieldWriter()
+                nz = alll[f] > 0
+                bw.write_array(allv[f][nz], alll[f][nz])
+                pkts.append(bw.getvalue())
         gp = 0
         for f in range(F):
-            bw = FieldWriter()
-            bw.write(0, 1)
-            bw.write(self.mode_idx, self.modebits)
-            bw.write(1, 1)   # prev window long
-            bw.write(1, 1)   # next window long
-            nz = []
-            for c in range(ch):
-                post = posts[c, f] if used[c, f] else None
-                z, _ = floor1_encode(bw, self.fl_look, vi.books,
-                                     vi.static_books,
-                                     None if post is None
-                                     else post.copy(), n2)
-                nz.append(z)
-            # uncoupled residue: one submap bundles all channels here
-            chans = [c for c in range(ch) if nz[c]]
-            if chans:
-                res01_forward(
-                    bw, self.res_look, None, len(chans),
-                    [pw[c, f] for c in chans],
-                    entries=[[entries[s][c, f] for s in
-                              range(len(entries))] for c in chans])
-            # granulepos: first packet primes the lap (no output)
+            pkt = pkts[f]
             gp = 0 if f == 0 else gp + hop
             eos = f == F - 1
             if eos:
                 gp = ns  # trim to the true sample count
-            w.packetin(bw.getvalue(), gp if f > 0 else 0, eos=eos)
+            w.packetin(pkt, gp if f > 0 else 0, eos=eos)
             if f % 16 == 0 or eos:
                 w.flush(eos=eos)
         w.flush()

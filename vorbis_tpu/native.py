@@ -44,6 +44,14 @@ def _load():
         np.ctypeslib.ndpointer(np.uint8, flags="C"), C.c_long,
         C.POINTER(C.c_long), C.c_int,
         np.ctypeslib.ndpointer(np.int64, flags="C"), C.c_long]
+    L.vn_pack_bits_multi.restype = C.c_long
+    L.vn_pack_bits_multi.argtypes = [
+        np.ctypeslib.ndpointer(np.uint64, flags="C"),
+        np.ctypeslib.ndpointer(np.int32, flags="C"),
+        C.c_long, C.c_long,
+        np.ctypeslib.ndpointer(np.uint8, flags="C"),
+        np.ctypeslib.ndpointer(np.int64, flags="C"),
+        np.ctypeslib.ndpointer(np.int64, flags="C")]
     L.vn_ogg_crc.restype = C.c_long
     L.vn_ogg_crc.argtypes = [
         np.ctypeslib.ndpointer(np.uint8, flags="C"), C.c_long,
@@ -141,3 +149,22 @@ def ogg_crc(data: bytes, crc: int = 0):
         return None
     arr = np.frombuffer(bytes(data), np.uint8)
     return int(L.vn_ogg_crc(arr, len(arr), crc)) & 0xFFFFFFFF
+
+
+def pack_bits_multi(values: np.ndarray, nbits: np.ndarray):
+    """Pack every row of (F, C) fields as its own packet in ONE native
+    call; returns list of bytes, or None without the library."""
+    L = _load()
+    if L is None:
+        return None
+    values = np.ascontiguousarray(values, np.uint64)
+    nbits = np.ascontiguousarray(nbits, np.int32)
+    F, Cc = values.shape
+    bits = nbits.astype(np.int64).sum(1)
+    sizes = (bits + 7) >> 3
+    off = np.zeros(F, np.int64)
+    np.cumsum(sizes[:-1] + 8, out=off[1:])   # +8 slack per packet
+    out = np.zeros(int(off[-1] + sizes[-1] + 16), np.uint8)
+    nbytes = np.zeros(F, np.int64)
+    L.vn_pack_bits_multi(values, nbits, F, Cc, out, off, nbytes)
+    return [out[off[f]:off[f] + nbytes[f]].tobytes() for f in range(F)]
