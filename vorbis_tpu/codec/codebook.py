@@ -349,6 +349,32 @@ class Codebook:
         w.write(int(self.codewords[entry]), L)
         return L
 
+    def decode_run(self, r: BitReader, count: int):
+        """Decode `count` consecutive symbols of THIS book via the
+        native two-level-table decoder (native/vorbisnative.c); falls
+        back to the Python per-symbol path.  Returns (entries, got);
+        got < count means the packet ran out (caller raises
+        EndOfPacket after applying what was decoded, like the
+        reference's partial-residue behavior)."""
+        hd = getattr(self, "_huff", False)
+        if hd is False:
+            try:
+                from ..native import HuffDecoder
+                hd = HuffDecoder(self.codewords, self.lengths)
+                if not hd.ok:
+                    hd = None
+            except Exception:
+                hd = None
+            self._huff = hd
+        if hd is None:
+            out = np.empty(count, np.int64)
+            for i in range(count):
+                out[i] = self.decode(r)     # may raise EndOfPacket
+            return out, count
+        ents, newpos, got = hd.decode(r.data, r.nbits, r.pos, count)
+        r.pos = newpos
+        return ents, got
+
     def code_arrays(self, entries: np.ndarray):
         """Vectorized (codeword, length) lookup for pack_bits_array."""
         return self.codewords[entries], self.lengths[entries]

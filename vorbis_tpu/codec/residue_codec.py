@@ -47,24 +47,25 @@ class ResidueLook:
 
 
 def _decodev_add(book, a, offset, n, r):
-    """decodev_add: sequential add (residue type 1)."""
-    vals = book.values
-    i = 0
-    while i < n:
-        e = book.decode(r)
-        v = vals[e]
-        take = min(book.dim, n - i)
-        a[offset + i:offset + i + take] += v[:take]
-        i += take
+    """decodev_add: sequential add (residue type 1).  The whole run of
+    same-book codewords decodes in one native call."""
+    dim = book.dim
+    count = (n + dim - 1) // dim
+    ents, got = book.decode_run(r, count)
+    if got:
+        v = book.values[ents[:got]].reshape(-1)[:min(got * dim, n)]
+        a[offset:offset + len(v)] += v
+    if got < count:
+        raise EndOfPacket
 
 
 def _decodevs_add(book, a, offset, n, r):
     """decodevs_add: stride-interleaved add (residue type 0).  All
     step codewords are read first, then scattered."""
     step = n // book.dim
-    entries = np.empty(step, dtype=np.int64)
-    for i in range(step):
-        entries[i] = book.decode(r)
+    entries, got = book.decode_run(r, step)
+    if got < step:
+        raise EndOfPacket
     v = book.values[entries]          # (step, dim)
     for d in range(book.dim):
         o = offset + d * step
@@ -167,12 +168,14 @@ def _res2_decode(r: BitReader, look: ResidueLook, flat: np.ndarray,
                         # at ((offset+n)/ch)*ch (C integer-division walk)
                         j = (offset // ch) * ch
                         end = ((offset + info.grouping) // ch) * ch
-                        while j < end:
-                            e = book.decode(r)
-                            v = book.values[e]
-                            take = min(book.dim, end - j)
-                            flat[j:j + take] += v[:take]
-                            j += take
+                        cnt = (end - j + book.dim - 1) // book.dim
+                        ents, got = book.decode_run(r, cnt)
+                        if got:
+                            v = book.values[ents[:got]].reshape(-1)
+                            v = v[:min(got * book.dim, end - j)]
+                            flat[j:j + len(v)] += v
+                        if got < cnt:
+                            raise EndOfPacket
                 k += 1
                 i += 1
             l += 1

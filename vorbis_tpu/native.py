@@ -17,6 +17,7 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_HERE, "_vorbisnative.so")
 
 lib = None
+_raw = None
 
 
 def _load():
@@ -64,6 +65,11 @@ def _load():
         np.ctypeslib.ndpointer(np.int32, flags="C"),
         np.ctypeslib.ndpointer(np.int64, flags="C"), C.c_int,
         np.ctypeslib.ndpointer(np.int64, flags="C"), C.c_long]
+    # raw-pointer twin for the hot per-packet Huffman calls: the
+    # ndpointer from_param marshalling costs more than the decode
+    global _raw
+    _raw = C.CDLL(_SO)
+    _raw.vn_huff_decode.restype = C.c_long
     lib = L
     return lib
 
@@ -128,17 +134,23 @@ class HuffDecoder:
                     if sec else np.zeros(1, np.int32))
         self.sec = np.ascontiguousarray(self.sec)
         self.offs = np.ascontiguousarray(np.asarray(offs, np.int64))
+        # raw pointers (arrays are pinned by self references)
+        self._t1p = C.c_void_p(self.t1.ctypes.data)
+        self._secp = C.c_void_p(self.sec.ctypes.data)
+        self._offp = C.c_void_p(self.offs.ctypes.data)
 
     def decode(self, data: np.ndarray, nbits_total: int, pos: int,
                count: int):
         """Decode up to count entries; returns (entries, new_pos,
         ndecoded)."""
-        L = _load()
+        _load()
         out = np.empty(count, np.int64)
         p = C.c_long(pos)
-        got = L.vn_huff_decode(data, nbits_total, C.byref(p), self.t1,
-                               self.K, self.sec, self.offs, self.K2,
-                               out, count)
+        got = _raw.vn_huff_decode(
+            C.c_void_p(data.ctypes.data), C.c_long(nbits_total),
+            C.byref(p), self._t1p, C.c_int(self.K), self._secp,
+            self._offp, C.c_int(self.K2),
+            C.c_void_p(out.ctypes.data), C.c_long(count))
         return out[:got], int(p.value), int(got)
 
 
