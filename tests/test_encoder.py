@@ -78,9 +78,12 @@ GOLDEN_MATRIX = [
     (2, 44100, -0.1, 0, 0.30),
     (2, 48000, 0.8, 0, 0.25),
     (1, 8000, 0.2, 0, 0.50),
+    (1, 11025, 0.1, 0, 0.40),
     (1, 22050, 0.5, 0, 0.30),
     (2, 32000, 1.0, 0, 0.25),
     (6, 44100, 0.4, 0, 0.20),
+    (6, 48000, 0.5, 0, 0.20),
+    (2, 96000, 0.5, 0, 0.15),
     (2, 44100, 0.0, 128, 0.30),
 ]
 
