@@ -55,6 +55,23 @@ def test_read_int16_conversion(stream):
     assert np.array_equal(v, want)
 
 
+def test_read_formats(stream):
+    """ov_read word/sign/endian variants (vorbisfile.c ov_read args)."""
+    _, ogg = stream
+    s16 = OggVorbisFile(ogg).read(1024)
+    u16be = OggVorbisFile(ogg).read(1024, signed=False, bigendian=True)
+    assert u16be.dtype == np.dtype(">u2")
+    assert np.array_equal(u16be.astype(np.int64) - 32768,
+                          s16[:, :u16be.shape[1]].astype(np.int64))
+    s8 = OggVorbisFile(ogg).read(1024, word=1)
+    u8 = OggVorbisFile(ogg).read(1024, word=1, signed=False)
+    assert s8.dtype == np.int8 and u8.dtype == np.uint8
+    assert np.array_equal(u8.astype(np.int64) - 128,
+                          s8.astype(np.int64))
+    with pytest.raises(OVError):
+        OggVorbisFile(ogg).read(10, word=3)
+
+
 @pytest.mark.parametrize("pos", [0, 1, 12345, 22050, 44099])
 def test_pcm_seek_sample_accurate(stream, pos):
     _, ogg = stream

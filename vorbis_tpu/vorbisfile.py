@@ -279,13 +279,30 @@ class OggVorbisFile:
         self._pcm_offset += k << getattr(self, "_hs", 0)
         return out
 
-    def read(self, nsamples: int) -> np.ndarray:
-        """ov_read with 16-bit signed host-endian output: (ch, k)
-        int16.  Conversion mirrors vorbis_ftoi round-to-nearest +
-        clamp (reference: ov_read_filter float->int conversion)."""
+    def read(self, nsamples: int, word: int = 2, signed: bool = True,
+             bigendian: bool = False) -> np.ndarray:
+        """ov_read (vorbisfile.c:2252): integer PCM output.  word=2 ->
+        int16 (+-32768 scale), word=1 -> 8-bit (+-128, offset 128 when
+        unsigned); conversion mirrors vorbis_ftoi round-to-nearest +
+        clamp (ov_read_filter's float->int).  Returns (ch, k) in the
+        requested dtype/byte order."""
         f = self.read_float(nsamples)
-        v = np.rint(f.astype(np.float64) * 32768.0)
-        return np.clip(v, -32768, 32767).astype(np.int16)
+        if word == 1:
+            v = np.clip(np.rint(f.astype(np.float64) * 128.0),
+                        -128, 127)
+            if signed:
+                return v.astype(np.int8)
+            return (v + 128).astype(np.uint8)
+        if word != 2:
+            raise OVError("word size must be 1 or 2 (OV_EINVAL)")
+        v = np.clip(np.rint(f.astype(np.float64) * 32768.0),
+                    -32768, 32767)
+        if not signed:
+            v = v + 32768
+            dt = ">u2" if bigendian else "<u2"
+        else:
+            dt = ">i2" if bigendian else "<i2"
+        return v.astype(dt)
 
     def read_all_float(self) -> np.ndarray:
         out = []
