@@ -80,6 +80,17 @@ class Decoder:
     def synthesize(self, packet: bytes):
         """Decode one audio packet to its raw n-point block (ch, n)
         float32 plus (W, mode).  Raises NotAudioPacket for non-audio."""
+        spec, W = self._synthesize_spectrum(packet)
+        n = self.bs[W]
+        if self.hs:
+            # half-size transform reads the first n/4 bins
+            nh = n >> self.hs
+            pcm = np.asarray(imdct(spec[:, :nh // 2], nh))
+        else:
+            pcm = np.asarray(imdct(spec, n))
+        return pcm, W
+
+    def _synthesize_spectrum(self, packet: bytes):
         vi = self.vi
         r = BitReader(packet)
         if r.read1() != 0:
@@ -156,13 +167,13 @@ class Decoder:
             else:
                 spec[c] = 0.0
 
-        if self.hs:
-            # half-size transform reads the first n/4 bins
-            nh = n >> self.hs
-            pcm = np.asarray(imdct(spec[:, :nh // 2], nh))
-        else:
-            pcm = np.asarray(imdct(spec, n))
-        return pcm, W
+        return spec, W
+
+    def parse_packet(self, packet: bytes):
+        """synthesize minus the IMDCT: decode one packet to its
+        spectral-domain block (ch, n/2) plus W.  Lets callers batch the
+        transform across many packets (decode_ogg's batched path)."""
+        return self._synthesize_spectrum(packet)
 
     # ---- lapped overlap-add state machine --------------------------------
     def blockin(self, block: np.ndarray, W: int, granulepos: int,

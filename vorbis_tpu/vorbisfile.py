@@ -305,6 +305,14 @@ class OggVorbisFile:
         return v.astype(dt)
 
     def read_all_float(self) -> np.ndarray:
+        """Decode everything from the current position.  When standing
+        at the start of a link with no halfrate, the batched path
+        amortizes the IMDCT across all packets (parse bits per packet,
+        one vectorized transform per blocksize group, then the lapping
+        walk)."""
+        if (self._pcm_offset in (0, None) and self._pending is None
+                and not getattr(self, "_hs", 0)):
+            return self._read_all_batched()
         out = []
         while True:
             c = self.read_float(1 << 20)
@@ -314,6 +322,44 @@ class OggVorbisFile:
         if not out:
             return np.zeros((self.info().channels, 0), np.float32)
         return np.concatenate(out, axis=1)
+
+    def _read_all_batched(self) -> np.ndarray:
+        from .ops.mdct import imdct
+        out = []
+        for li in range(self._cur_link, len(self.links)):
+            self._open_link(li)
+            dec = self._decoder
+            parsed = []            # (spec, W, gp, eos)
+            for pk, gp, eos, _ in self._pkt_iter:
+                try:
+                    spec, W = dec.parse_packet(pk)
+                except NotAudioPacket:
+                    continue
+                except Exception:
+                    continue
+                parsed.append([spec, W, gp, eos])
+            # batch the IMDCT per blocksize group
+            for W in (0, 1):
+                idx = [k for k, p in enumerate(parsed) if p[1] == W]
+                if not idx:
+                    continue
+                n = dec.bs[W]
+                stack = np.stack([parsed[k][0] for k in idx])
+                pcm = np.asarray(imdct(
+                    stack.reshape(-1, n // 2), n)).reshape(
+                        len(idx), -1, n)
+                for j, k in enumerate(idx):
+                    parsed[k][0] = pcm[j]
+            for spec, W, gp, eos in parsed:
+                got = dec.blockin(spec, W, gp, eos)
+                if got is not None and got.shape[1]:
+                    out.append(got)
+        if not out:
+            return np.zeros((self.info().channels, 0), np.float32)
+        full = np.concatenate(out, axis=1)
+        self._pcm_offset = self.pcm_total()
+        self._pkt_iter = iter(())
+        return full
 
     # ---- tells ---------------------------------------------------------
     def pcm_tell(self) -> int:
