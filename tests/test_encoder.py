@@ -157,6 +157,14 @@ def test_ctl_guards():
 
 
 @needs_ref
+def test_golden_packets_long_stream(tmp_path):
+    """A longer managed encode: deeper psy history (lastmdct/tempmdct,
+    impadnum, lW_no chains) and real bitrate-reservoir dynamics."""
+    pcm = oracle.make_test_signal(seconds=1.5, seed=11)
+    _assert_golden(tmp_path, pcm, 44100, 0.0, 128)
+
+
+@needs_ref
 def test_golden_packets_silence(tmp_path):
     """All-zero input exercises the dynamic-range floor and lossless
     promotion paths."""
