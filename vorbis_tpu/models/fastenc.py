@@ -84,6 +84,9 @@ class FastEncoder:
                                    self.res_look.books,
                                    self.res_look.partbooks)
         self._step = jax.jit(self._device_step)
+        # fixed device batch (frames) — one compiled shape for any
+        # input length; ~24s of stereo per chunk at n=2048
+        self.chunk_frames = 2048
 
     # -- device side ------------------------------------------------------
     def _device_step(self, frames):
@@ -329,11 +332,31 @@ class FastEncoder:
         frames = self._frame(pcm)              # (ch, F, n)
         F = frames.shape[1]
         flat = frames.reshape(ch * F, self.n)
-        posts, used, pw, entries = self._step(flat)
-        posts = np.asarray(posts).reshape(ch, F, -1)
-        used = np.asarray(used).reshape(ch, F)
-        pw = np.asarray(pw).reshape(ch, F, -1)
-        entries = [np.asarray(e).reshape(ch, F, e.shape[1], e.shape[2])
+        # run the device step over FIXED-size chunks so one compiled
+        # shape serves any input length (a fresh shape costs minutes
+        # of XLA compile through the axon remote-compile path)
+        CH = self.chunk_frames
+        nb = flat.shape[0]
+        outs = []
+        for o in range(0, nb, CH):
+            blk = flat[o:o + CH]
+            if blk.shape[0] < CH:
+                blk = np.concatenate(
+                    [blk, np.zeros((CH - blk.shape[0], self.n),
+                                   np.float32)])
+            outs.append([np.asarray(x) if not isinstance(x, list)
+                         else [np.asarray(e) for e in x]
+                         for x in self._step(blk)])
+        posts = np.concatenate([o[0] for o in outs])[:nb]
+        used = np.concatenate([o[1] for o in outs])[:nb]
+        pw = np.concatenate([o[2] for o in outs])[:nb]
+        nst = len(outs[0][3])
+        entries = [np.concatenate([o[3][s] for o in outs])[:nb]
+                   for s in range(nst)]
+        posts = posts.reshape(ch, F, -1)
+        used = used.reshape(ch, F)
+        pw = pw.reshape(ch, F, -1)
+        entries = [e.reshape(ch, F, e.shape[1], e.shape[2])
                    for e in entries]
 
         w = OggStreamWriter(serialno)
