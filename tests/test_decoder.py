@@ -69,6 +69,5 @@ def test_decode_truncated_and_corrupt_streams_dont_crash():
             bad[rng.randint(200, len(bad))] ^= 1 << rng.randint(8)
         try:
             decode_ogg(bytes(bad))
-        except Exception as e:
-            # typed codec errors are fine; crashes are not
-            assert isinstance(e, (ValueError, KeyError)) or True
+        except (ValueError, KeyError, EOFError):
+            pass  # typed codec errors are fine; anything else is a bug

@@ -220,36 +220,46 @@ class OggStreamWriter:
         self.serialno = serialno
         self.pageno = 0
         self._segs: list[bytes] = []          # pending lacing segments
+        # granulepos of the packet each segment COMPLETES (None on
+        # non-final segments) — libogg keeps the same per-lacing
+        # granule_vals so spilled pages can stamp the last packet
+        # completed on them
+        self._seg_gp: list = []
         self._granule = -1
         self._continued_next = False
         self._bos_pending = True
         self._eos_pending = False
         self._pages: list[bytes] = []
 
-    def _lace(self, packet: bytes):
+    def _lace(self, packet: bytes, granulepos: int):
         n = len(packet)
         off = 0
         while True:
             take = min(255, n - off)
             self._segs.append(packet[off:off + take])
+            self._seg_gp.append(None)
             off += take
             if take < 255:
                 break
             if off == n:
                 self._segs.append(b"")  # exact multiple of 255 → empty terminator
+                self._seg_gp.append(None)
                 break
+        self._seg_gp[-1] = granulepos
 
     def packetin(self, packet: bytes, granulepos: int, eos: bool = False):
-        self._lace(packet)
+        self._lace(packet, granulepos)
         self._granule = granulepos
         self._eos_pending = eos
         # spill full pages as they fill
         while len(self._segs) >= self.MAX_BODY_SEGS:
             head = self._segs[:self.MAX_BODY_SEGS]
+            head_gp = [g for g in self._seg_gp[:self.MAX_BODY_SEGS]
+                       if g is not None]
             ends_packet = len(head[-1]) < 255
-            self._emit(head, self._granule if ends_packet and len(self._segs) == self.MAX_BODY_SEGS else -1,
-                       eos=False)
+            self._emit(head, head_gp[-1] if head_gp else -1, eos=False)
             self._segs = self._segs[self.MAX_BODY_SEGS:]
+            self._seg_gp = self._seg_gp[self.MAX_BODY_SEGS:]
             self._continued_next = not ends_packet
 
     def _emit(self, segs, granulepos, eos):
@@ -272,10 +282,13 @@ class OggStreamWriter:
         was marked eos."""
         while self._segs:
             head = self._segs[:self.MAX_BODY_SEGS]
+            head_gp = [g for g in self._seg_gp[:self.MAX_BODY_SEGS]
+                       if g is not None]
             self._segs = self._segs[self.MAX_BODY_SEGS:]
+            self._seg_gp = self._seg_gp[self.MAX_BODY_SEGS:]
             last = not self._segs
             ends_packet = len(head[-1]) < 255
-            self._emit(head, self._granule if last else -1,
+            self._emit(head, head_gp[-1] if head_gp else -1,
                        eos=(eos or self._eos_pending) and last)
             self._continued_next = not ends_packet
         if eos or self._eos_pending:

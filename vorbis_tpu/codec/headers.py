@@ -404,6 +404,9 @@ def parse_setup_header(packet: bytes, vi: VorbisInfo) -> None:
 
 def parse_headers(packets: list) -> VorbisInfo:
     """Parse the 3 header packets in sequence."""
+    if len(packets) < 3:
+        raise BadHeaderError(
+            f"need 3 header packets, got {len(packets)} (OV_EBADHEADER)")
     vi = parse_id_header(packets[0])
     parse_comment_header(packets[1], vi)
     parse_setup_header(packets[2], vi)

@@ -310,7 +310,13 @@ class OggVorbisFile:
         amortizes the IMDCT across all packets (parse bits per packet,
         one vectorized transform per blocksize group, then the lapping
         walk)."""
-        if (self._pcm_offset in (0, None) and self._pending is None
+        if self._pcm_offset is None:
+            # a prior page-level seek left the position unresolved;
+            # resolve it and drain sequentially from here (the batched
+            # path would silently restart the link from sample 0)
+            self._establish_position()
+        if (self._pcm_offset == 0 and self._cur_link == 0
+                and self._pending is None
                 and not getattr(self, "_hs", 0)):
             return self._read_all_batched()
         out = []
@@ -393,7 +399,25 @@ class OggVorbisFile:
             else:
                 continue
             break
-        self._seek_to_page(target_link, max(target_page, 3))
+        lk = self.links[target_link]
+        self._seek_to_page(target_link,
+                           max(target_page, self._first_audio_page(lk)))
+
+    @staticmethod
+    def _first_audio_page(lk: _Link) -> int:
+        """Index of the first page carrying audio: the page where the
+        3rd header packet completes if audio segments follow it there,
+        else the next page (reference ov_raw_seek restarts cleanly at
+        the stream head rather than assuming a fixed header layout)."""
+        done = 0
+        for pidx, page in enumerate(lk.pages):
+            for si, seg in enumerate(page.segments):
+                if len(seg) < 255:
+                    done += 1
+                    if done == 3:
+                        more = si + 1 < len(page.segments)
+                        return pidx if more else pidx + 1
+        return len(lk.pages)
 
     def _page_of_pcm(self, lk: _Link, pos: int) -> int:
         """Bisection over the link's pages by granulepos (reference:
@@ -536,9 +560,15 @@ class OggVorbisFile:
         half as many samples per block."""
         if flag and min(lk.vi.blocksizes[0] for lk in self.links) <= 64:
             raise OVError("blocksize too small for halfrate (OV_EINVAL)")
+        # reference ov_halfrate preserves the playback position across
+        # the decoder reinit (vorbisfile.c:1030)
+        pos = self.pcm_tell()
         self._hs = 1 if flag else 0
         self._open_link(self._cur_link)
-        self._pcm_offset = None
+        lk = self.links[self._cur_link]
+        self._pcm_offset = lk.pcm_start
+        if pos != lk.pcm_start:
+            self.pcm_seek(pos)
 
     def halfrate_p(self) -> bool:
         return bool(getattr(self, "_hs", 0))
