@@ -103,8 +103,11 @@ def test_device_synthesis_overlap_add(pipe):
 
 
 def test_sharded_step_matches_single_device(pipe):
-    """The dp x sp sharded full step produces the same result as the
-    unsharded step (collectives must not change the math)."""
+    """The dp x sp sharded roundtrip step produces the same result as
+    the unsharded step.  The input is scaled so every keep-mask
+    decision (logmdct >= noise) sits far from the threshold — under
+    that condition sharding must not change a single sample beyond
+    float reassociation noise."""
     import jax
     from jax.sharding import Mesh
 
@@ -113,19 +116,52 @@ def test_sharded_step_matches_single_device(pipe):
         devs = jax.devices("cpu")
     mesh = Mesh(np.array(devs[:8]).reshape(2, 4), ("dp", "sp"))
     rng = np.random.RandomState(0)
-    frames = rng.randn(4, 2, 8, pipe.n).astype(np.float32)
+    # loud pure tones: their bins clear the mask by tens of dB, and the
+    # masked-out bins sit tens of dB under it — no threshold flips
+    t = np.arange(pipe.n)
+    base = (0.5 * np.sin(2 * np.pi * 0.013 * t)
+            + 0.25 * np.sin(2 * np.pi * 0.071 * t)).astype(np.float32)
+    frames = np.broadcast_to(
+        base, (4, 2, 8, pipe.n)).astype(np.float32).copy()
+    frames *= (1.0 + 0.01 * rng.randn(4, 2, 8, 1).astype(np.float32))
     step = make_sharded_step(pipe, mesh)
     with mesh:
         pcm_sh, err_sh = map(np.asarray, step(frames))
     pcm, err = map(np.asarray, jax.jit(pipe.roundtrip_step)(frames))
     assert pcm_sh.shape == pcm.shape
-    # the masked-quantization threshold (logmdct >= noise) can flip on
-    # ulp-level cumsum reassociation between sharding layouts; demand
-    # agreement in aggregate, not bitwise
-    assert np.abs(err_sh - err) < 1e-3, (err_sh, err)
-    mismatched = np.mean(np.abs(pcm_sh - pcm) > 1e-5)
-    assert mismatched < 0.25, mismatched
-    assert np.mean(np.abs(pcm_sh - pcm)) < 1e-2
+    assert np.abs(err_sh - err) < 1e-6, (err_sh, err)
+    scale = np.abs(pcm).max()
+    assert np.abs(pcm_sh - pcm).max() <= 1e-5 * scale
+
+
+def test_sharded_encode_packets_bitwise_identical():
+    """The REAL production encode step (floor fit + wrap coding +
+    residue VQ + Huffman + bit packing) sharded over the full mesh
+    emits packets BITWISE IDENTICAL to the single-device step: the
+    pipeline is per-frame, so sharding must not change one bit."""
+    import jax
+    from jax.sharding import Mesh
+
+    from vorbis_tpu.models.fastenc import FastEncoder
+    from vorbis_tpu.ops.encdevice import DeviceFastEncode
+    from vorbis_tpu.parallel import sharded_encode_step
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        devs = jax.devices("cpu")
+    mesh = Mesh(np.array(devs[:8]).reshape(2, 4), ("dp", "sp"))
+    fe = FastEncoder(2, 44100, 0.5)
+    F = 16
+    dev = DeviceFastEncode(fe, chunk_packets=F)
+    rng = np.random.RandomState(0)
+    frames = (rng.randn(F, fe.ch, fe.n) * 0.1).astype(np.float32)
+    step = sharded_encode_step(dev, mesh, F)
+    with mesh:
+        pk_sh, nb_sh = map(np.asarray, step(frames))
+    pk, nb = map(np.asarray, jax.jit(dev.make_framed_step(F))(frames))
+    assert np.array_equal(nb_sh, nb)
+    assert np.array_equal(pk_sh, pk)
+    assert (nb > 0).all()
 
 
 def test_graft_entry_contracts():

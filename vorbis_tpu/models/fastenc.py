@@ -87,6 +87,17 @@ class FastEncoder:
         # fixed device batch (frames) — one compiled shape for any
         # input length; ~24s of stereo per chunk at n=2048
         self.chunk_frames = 2048
+        # round-2 fully-on-device pipeline (framing -> ... -> packed
+        # packet bytes in one jit); lazy so the host-pack path stays
+        # importable without building the column plan
+        self._dev = None
+
+    @property
+    def dev(self):
+        if self._dev is None:
+            from ..ops.encdevice import DeviceFastEncode
+            self._dev = DeviceFastEncode(self)
+        return self._dev
 
     # -- device side ------------------------------------------------------
     def _device_step(self, frames):
@@ -325,8 +336,98 @@ class FastEncoder:
         idx = np.arange(nf)[:, None] * hop + np.arange(n)[None, :]
         return x[:, idx]                       # (ch, F, n)
 
-    def encode(self, pcm, serialno=778, comments=None) -> bytes:
-        """Full VBR fast encode of (ch, samples) -> Ogg bytes."""
+    def encode(self, pcm, serialno=778, comments=None,
+               max_in_flight=16) -> bytes:
+        """Full VBR fast encode of (ch, samples) -> Ogg bytes.
+
+        The round-2 path: the entire per-packet pipeline (framing,
+        masking, floor fit + wrap coding, residue VQ, Huffman codeword
+        lookup, bit packing) runs on device in fixed-size chunks; the
+        host only slices the packed packets and frames Ogg pages.
+        Chunks are dispatched ahead and fetched asynchronously so the
+        device compute, both transfer directions, and host paging all
+        overlap.  pcm may be float32 (reference scale) or int16 (the
+        encoder_example WAV path; converted on device as x/32768)."""
+        ch, ns = pcm.shape
+        assert ch == self.ch
+        dev = self.dev
+        n, hop = self.n, self.n // 2
+        CF = dev.chunk_packets
+        if pcm.dtype == np.int16:
+            zdt = np.int16
+        else:
+            pcm = pcm.astype(np.float32, copy=False)
+            zdt = np.float32
+        pad1 = np.zeros((ch, hop), zdt)
+        pad2 = np.zeros((ch, 2 * hop), zdt)
+        x = np.concatenate([pad1, pcm, pad2], 1)
+        F = (x.shape[1] - n) // hop + 1            # packets total
+        nchunks = (F + CF - 1) // CF
+        step = dev.get_step()
+        wb = dev.plan.wb
+
+        w = OggStreamWriter(serialno)
+        h1, h2, h3 = self.enc.header_packets(comments)
+        w.packetin(h1, 0)
+        w.flush()
+        w.packetin(h2, 0)
+        w.packetin(h3, 0)
+        w.flush()
+
+        def dispatch(c):
+            s0 = c * CF * hop
+            sl = x[:, s0:s0 + dev.chunk_samples]
+            if sl.shape[1] < dev.chunk_samples:
+                sl = np.concatenate(
+                    [sl, np.zeros((ch, dev.chunk_samples
+                                   - sl.shape[1]), zdt)], 1)
+            pk, nb = step(jax.device_put(np.ascontiguousarray(sl)))
+            pk.copy_to_host_async()
+            nb.copy_to_host_async()
+            return pk, nb
+
+        inflight = {}
+        gp = 0
+        fglobal = 0
+        for c in range(nchunks):
+            for cd in range(c, min(c + max_in_flight, nchunks)):
+                if cd not in inflight:
+                    inflight[cd] = dispatch(cd)
+            pk, nb = inflight.pop(c)
+            pkb = np.asarray(pk)
+            nbb = np.asarray(nb)
+            if (nbb > wb * 8).any():
+                # rare oversized packet: redo the chunk with the
+                # static worst-case byte budget (compiled lazily once)
+                big = dev.get_step(dev.plan.worst_bytes)
+                s0 = c * CF * hop
+                sl = x[:, s0:s0 + dev.chunk_samples]
+                if sl.shape[1] < dev.chunk_samples:
+                    sl = np.concatenate(
+                        [sl, np.zeros((ch, dev.chunk_samples
+                                       - sl.shape[1]), zdt)], 1)
+                pk, nb = big(jax.device_put(np.ascontiguousarray(sl)))
+                pkb = np.asarray(pk)
+                nbb = np.asarray(nb)
+            hi = min(CF, F - c * CF)
+            sizes = (nbb[:hi] + 7) >> 3
+            for f in range(hi):
+                pkt = pkb[f, :sizes[f]].tobytes()
+                gp = 0 if fglobal == 0 else gp + hop
+                eos = fglobal == F - 1
+                if eos:
+                    gp = ns
+                w.packetin(pkt, gp if fglobal > 0 else 0, eos=eos)
+                if fglobal % 16 == 0 or eos:
+                    w.flush(eos=eos)
+                fglobal += 1
+        w.flush()
+        return w.pageout_all()
+
+    def encode_hostpack(self, pcm, serialno=778, comments=None) -> bytes:
+        """Round-1 fast encode (device decisions, host bit-field
+        construction).  Kept as the equivalence oracle for the fully
+        on-device path and as a fallback."""
         ch, ns = pcm.shape
         assert ch == self.ch
         frames = self._frame(pcm)              # (ch, F, n)

@@ -336,7 +336,14 @@ class DeviceFloorFit:
 
     def render(self, qposts, fromdB_table):
         """Quantized posts (B, P) -> gain curve (B, n) float32, the
-        same curve the decoder renders (render_line + fromdB)."""
+        same curve the decoder renders (render_line + fromdB).
+
+        Formulation: per SORTED post position, forward/backward scans
+        over the tiny (B, P) axis find the previous/next used post;
+        per-bin brackets then come from ONE static gather through the
+        precomputed bin->sorted-interval table (each bin's enclosing
+        static interval never changes), instead of the former P scatter
+        passes over (B, n)."""
         look = self.look
         mult = look.info.mult
         n = self.n
@@ -347,41 +354,45 @@ class DeviceFloorFit:
         ys = jnp.clip((qposts[:, fwd] & 0x7FFF) * mult, 0, 255)
         used = (qposts[:, fwd] & 0x8000) == 0
         used = used.at[:, 0].set(True)   # post 0 always anchors
-        # true x drives the DDA (a post may sit at x == n, e.g. the
-        # postlist[1] endpoint); only the scatter bins are clipped
         xs = np.asarray(self.sorted_x)
-        # left bracket per bin: scatter sorted index at its bin, then
-        # running max forward-fill (posts at x >= n can never be a
-        # left anchor)
-        stage = jnp.full((B, n), -1, jnp.int32)
-        for j in range(P):
-            if xs[j] < n:
-                stage = stage.at[:, int(xs[j])].max(
-                    jnp.where(used[:, j], j, -1))
-        left = jax.lax.associative_scan(jnp.maximum, stage, axis=-1)
-        left = jnp.maximum(left, 0)
-        # right bracket: running min of +inf-filled backward
-        stage2 = jnp.full((B, n), P, jnp.int32)
-        for j in range(P - 1, 0, -1):
-            stage2 = stage2.at[:, int(min(xs[j], n - 1))].min(
-                jnp.where(used[:, j], j, P))
-        right = jax.lax.associative_scan(
-            jnp.minimum, stage2[:, ::-1], axis=-1)[:, ::-1]
-        sxj = jnp.asarray(xs)
-        lx = jnp.take(sxj, left, axis=0)
-        ly = jnp.take_along_axis(ys, left, axis=1)
-        has_r = right < P
-        rz = jnp.minimum(right, P - 1)
-        hx = jnp.take(sxj, rz, axis=0)
-        hy = jnp.take_along_axis(ys, rz, axis=1)
+        if not hasattr(self, "_iv_table"):
+            # bin t -> sorted interval j with xs[j] <= t < xs[j+1]
+            iv = np.searchsorted(xs, np.arange(n), side="right") - 1
+            self._iv_table = np.clip(iv, 0, P - 1)
+        iv = self._iv_table
+        jar = jnp.arange(P, dtype=jnp.int32)
+        # previous used sorted index at-or-before j (inclusive)
+        lastu = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(used, jar, -1), axis=-1)
+        lastu = jnp.maximum(lastu, 0)
+        # next used sorted index strictly after j (P when none)
+        nxt = jnp.where(used, jar, P)
+        nextu = jax.lax.associative_scan(
+            jnp.minimum, nxt[:, ::-1], axis=-1)[:, ::-1]
+        nextu_after = jnp.concatenate(
+            [nextu[:, 1:], jnp.full((B, 1), P, jnp.int32)], axis=1)
+        # ALL dynamic gathers stay in the tiny (B, P) space — XLA's
+        # TPU lowering serializes big computed-index gathers (~10ns per
+        # element), so (B, n)-sized dynamic gathers are the one thing
+        # this kernel must never do; static iv-expansion is fast
+        sxj = jnp.broadcast_to(jnp.asarray(xs.astype(np.int32)), (B, P))
+        lxp = jnp.take_along_axis(sxj, lastu, 1)
+        lyp = jnp.take_along_axis(ys, lastu, 1)
+        rzp = jnp.minimum(nextu_after, P - 1)
+        hxp = jnp.take_along_axis(sxj, rzp, 1)
+        hyp = jnp.take_along_axis(ys, rzp, 1)
+        hasr = nextu_after < P
+        # static bin expansion
+        lx = lxp[:, iv]
+        ly = lyp[:, iv]
+        hx = hxp[:, iv]
+        hy = hyp[:, iv]
+        hr = hasr[:, iv]
         t = jnp.broadcast_to(self.xg, (B, n))
         # past the last used post the curve holds ly; at the exact post
         # bin render_line writes ly
-        seg = has_r & (hx > lx) & (t >= lx)
+        seg = hr & (hx > lx) & (t >= lx)
         y = jnp.where(seg, _render_point(lx, hx, ly, hy, t), ly)
-        # bins beyond the last breakpoint bracketing (t between lx and
-        # hx exclusive handled above; t == hx belongs to next segment
-        # whose lx == hx, handled since left updates at that bin)
         y = jnp.clip(y, 0, 255)
         return jnp.take(fromdB_table, y, axis=0)
 

@@ -1,5 +1,7 @@
 """Multi-chip sharding of the stream/frame batch axes."""
 
-from .mesh import make_codec_mesh, shard_frames, sharded_roundtrip_step
+from .mesh import (make_codec_mesh, shard_frames,
+                   sharded_encode_step, sharded_roundtrip_step)
 
-__all__ = ["make_codec_mesh", "shard_frames", "sharded_roundtrip_step"]
+__all__ = ["make_codec_mesh", "shard_frames", "sharded_encode_step",
+           "sharded_roundtrip_step"]

@@ -58,3 +58,23 @@ def sharded_roundtrip_step(pipe, mesh: Mesh):
         return pipe.roundtrip_step(frames)
 
     return step
+
+
+def sharded_encode_step(dev, mesh: Mesh, F: int):
+    """Jit the REAL production encode step — the full DeviceFastEncode
+    pipeline (masking -> floor1 fit -> post wrap coding -> residue VQ
+    -> Huffman codeword lookup -> bit packing) — with the frame axis
+    sharded over every mesh device (dp and sp both partition frames;
+    per-frame math has no cross-frame dependency, so the sharded
+    packets are bitwise identical to single-device output).
+
+    dev: ops.encdevice.DeviceFastEncode.  F: frames per step, must be
+    divisible by mesh.size.  Returns a jitted
+    frames (F, ch, n) -> (packets (F, wb) uint8, nbits (F,) int32).
+    """
+    assert F % mesh.size == 0, (F, mesh.size)
+    in_sh = NamedSharding(mesh, P(("dp", "sp"), None, None))
+    out_sh = (NamedSharding(mesh, P(("dp", "sp"), None)),
+              NamedSharding(mesh, P(("dp", "sp"))))
+    return jax.jit(dev.make_framed_step(F), in_shardings=(in_sh,),
+                   out_shardings=out_sh)
