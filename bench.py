@@ -1,13 +1,17 @@
 #!/usr/bin/env python
-"""Driver benchmark: batched TPU encode-analysis throughput.
+"""Driver benchmark: FULL end-to-end codec throughput.
 
-Measures the device codec spine (window -> forward MDCT -> log
-spectrum -> two-pass bark noise fit -> companded noise mask) on
-batched 44.1 kHz stereo long blocks at q5, reported as x-realtime per
-chip.  Baseline target (BASELINE.md): >500x realtime for the full
-batched encode; vs_baseline is measured/500.
+Primary metric (the BASELINE.md north star): complete PCM -> Ogg
+Vorbis encode — framing, psy masking, floor1 fit, post wrap coding,
+residue VQ, Huffman codeword lookup and bit packing all on device in
+one jit; host slices packets and frames Ogg pages — measured as
+x-realtime per chip on 44.1 kHz stereo q5.  Target >500x.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Secondary field: full Ogg -> PCM decode (native C packet parse +
+bit-exact batched synthesis) vs the reference C decoder's measured
+266x/core on this host class.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
@@ -21,45 +25,48 @@ import numpy as np
 
 
 def main():
-    import jax
+    from vorbis_tpu.models.fastenc import FastEncoder
 
-    from vorbis_tpu.models.pipeline import TpuCodecPipeline
-
-    pipe = TpuCodecPipeline(ch=2, rate=44100, quality=0.5)
-    n = pipe.n
-    hop = n // 2
     rate = 44100
-    ch = 2
-
-    # ~70 audio-seconds of stereo per step
-    frames_per_step = 6144
+    secs = 60
+    t = np.arange(secs * rate) / rate
     rng = np.random.RandomState(0)
-    x = rng.randn(frames_per_step, n).astype(np.float32) * 0.3
+    pcm = (0.30 * np.sin(2 * np.pi * 440 * t)[None, :]
+           + 0.10 * np.sin(2 * np.pi * 1873 * t)[None, :]
+           + 0.02 * rng.randn(2, secs * rate)).astype(np.float32)
 
-    step = jax.jit(pipe.mask_step)
-    dev = jax.devices()[0]
-    xd = jax.device_put(x, dev)
+    fe = FastEncoder(2, 44100, 0.5)
+    ogg = fe.encode(pcm)                 # compile + warm
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ogg = fe.encode(pcm)
+        best = min(best, time.perf_counter() - t0)
+    enc_xrt = secs / best
 
-    # warmup/compile
-    out = step(xd)
-    jax.block_until_ready(out)
+    dec_xrt = None
+    try:
+        from vorbis_tpu.models.fastdec import decode_ogg_fast
+        out, _ = decode_ogg_fast(ogg)    # our stream decodes bit-clean
+        bestd = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out, _ = decode_ogg_fast(ogg)
+            bestd = min(bestd, time.perf_counter() - t0)
+        dec_xrt = out.shape[1] / rate / bestd
+    except Exception:
+        pass
 
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step(xd)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-
-    total_frames = frames_per_step * iters
-    audio_seconds = total_frames * hop / rate / ch  # stereo stream time
-    xrt = audio_seconds / dt
-    print(json.dumps({
-        "metric": "tpu_batched_encode_psy_stereo_q5",
-        "value": round(xrt, 1),
+    rec = {
+        "metric": "tpu_e2e_encode_pcm_to_ogg_q5_stereo",
+        "value": round(enc_xrt, 1),
         "unit": "x_realtime_per_chip",
-        "vs_baseline": round(xrt / 500.0, 3),
-    }))
+        "vs_baseline": round(enc_xrt / 500.0, 3),
+    }
+    if dec_xrt is not None:
+        rec["decode_x_realtime"] = round(dec_xrt, 1)
+        rec["decode_vs_c_core"] = round(dec_xrt / 266.0, 3)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

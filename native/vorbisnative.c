@@ -171,3 +171,789 @@ long vn_pack_bits_multi(const uint64_t *values, const int32_t *nbits,
     }
     return total;
 }
+
+/* ===================================================================
+ * Whole-stream audio packet parser + residue accumulator.
+ *
+ * The serial half of the decode drain (reference hot path:
+ * lib/synthesis.c vorbis_synthesis -> lib/mapping0.c mapping0_inverse
+ * -> lib/floor1.c floor1_inverse1 -> lib/res0.c _01inverse/res2_inverse
+ * -> lib/codebook.c decode_packed_entry_number): every audio packet of
+ * a stream is parsed in ONE native call, emitting dense arrays the
+ * batched (numpy/TPU) synthesis consumes — unwrapped floor posts per
+ * channel and fully accumulated float32 residue vectors.  Residue
+ * value addition follows the reference's decodev_add/decodevs_add/
+ * decodevv_add semantics exactly (float32 adds in decode order;
+ * type-0 applies nothing on a truncated call; types 1/2 keep partial
+ * entries; full-dim writes per entry).
+ *
+ * Restrictions (caller falls back to the scalar path otherwise):
+ * floor type 1 only, one submap per mapping.
+ *
+ * Config/book tables are flat int32/float arrays marshaled by
+ * vorbis_tpu/codec/nativeparse.py; see that file for layouts.
+ */
+
+#define VN_K1 10
+
+static inline long vn_huff1(const uint8_t *data, long nbits_total,
+                            long *pos, const int32_t *t1,
+                            const int32_t *sec, const int64_t *soff,
+                            int K2)
+{
+    long p = *pos;
+    long byte = p >> 3;
+    int bit = p & 7;
+    uint64_t acc = 0;
+    long maxbyte = (nbits_total + 7) >> 3;
+    for (int k = 0; k < 7; k++) {
+        uint64_t b = (byte + k < maxbyte) ? data[byte + k] : 0;
+        acc |= b << (8 * k);
+    }
+    uint64_t word = (acc >> bit) & ((1ULL << VN_K1) - 1);
+    int32_t t = t1[word];
+    int entry, len;
+    if (t >= 0) {
+        entry = t >> 6;
+        len = t & 63;
+    } else if (t <= -2) {
+        long s = -(long)t - 2;
+        uint64_t w2 = (acc >> (bit + VN_K1)) & ((1ULL << K2) - 1);
+        const int32_t *t2 = sec + soff[s];
+        int32_t u = t2[w2];
+        if (u < 0) {
+            *pos = nbits_total;
+            return -1;
+        }
+        entry = u >> 6;
+        len = u & 63;
+    } else {
+        *pos = nbits_total;
+        return -1;
+    }
+    if (p + len > nbits_total) {
+        *pos = nbits_total;
+        return -1;
+    }
+    *pos = p + len;
+    return entry;
+}
+
+typedef struct {
+    const int32_t *t1;
+    const int32_t *sec;
+    const int64_t *soff;
+    int K2;
+    const float *vals;
+    int dim;
+} vn_book;
+
+/* floor cfg int32 layout (see nativeparse.py):
+ * [0]=posts [1]=quantbits [2]=partitions [3]=quant_q [4]=nclasses
+ * [5..5+partitions) partitionclass
+ * then nclasses * 11: (dim, subs, classbook, subbook[8])
+ * then postlist[posts], loneighbor[posts-2], hineighbor[posts-2] */
+
+/* res cfg int32 layout:
+ * [0]=type [1]=begin [2]=end [3]=grouping [4]=possible [5]=stages
+ * [6]=phrasebook [7]=ppw [8]=partvals_limit
+ * [9..9+possible) secondstages
+ * then partbooks[possible*stages] (book index or -1) */
+
+static long vn_render_pt(long x0, long x1, long y0, long y1, long x)
+{
+    y0 &= 0x7FFF;
+    y1 &= 0x7FFF;
+    {
+        long dy = y1 - y0;
+        long adx = x1 - x0;
+        long ady = dy < 0 ? -dy : dy;
+        long err = ady * (x - x0);
+        long off = err / adx;
+        return dy < 0 ? y0 - off : y0 + off;
+    }
+}
+
+long vn_parse_packets(
+    const uint8_t *data, const int64_t *pkt_off, const int64_t *pkt_bits,
+    long npkt, int ch, int modebits, int nmodes, int nmaps, int submax,
+    const int32_t *mode_blockflag, const int32_t *mode_map,
+    const int32_t *map_submaps, const int32_t *map_chmux,
+    const int32_t *map_floorsub, const int32_t *map_ressub,
+    const int32_t *cpl_count, const int32_t *cpl_mag,
+    const int32_t *cpl_ang, /* per MAP, flattened with stride maxcpl */
+    int maxcpl,
+    /* books */
+    const int32_t *t1_all, const int32_t *sec_all,
+    const int64_t *soff_all, const int64_t *book_secbase,
+    const int64_t *book_soffbase, const int32_t *book_K2,
+    const float *vals_all, const int64_t *book_valbase,
+    const int32_t *book_dim, int nbooks,
+    /* configs */
+    const int32_t *flcfg, const int64_t *flcfg_off,
+    const int32_t *rescfg, const int64_t *rescfg_off,
+    const float *fromdB,          /* 256-entry floor gain table */
+    int bs0, int bs1,
+    /* outputs */
+    int32_t *out_W,               /* npkt (-1 bad/non-audio) */
+    int32_t *out_mode,            /* npkt */
+    int32_t *out_posts,           /* npkt*ch*Pmax */
+    uint8_t *out_nonzero,         /* npkt*ch */
+    float *out_res,               /* npkt*ch*n2max, zeroed by caller */
+    int Pmax, int n2max,
+    /* scratch: ch*pwmax int32 */
+    int32_t *partword_buf, int pwmax)
+{
+    vn_book books[512];
+    if (nbooks > 512 || ch > 64)
+        return -1;
+    for (int b = 0; b < nbooks; b++) {
+        books[b].t1 = t1_all + (long)b * (1 << VN_K1);
+        books[b].sec = sec_all + book_secbase[b];
+        books[b].soff = soff_all + book_soffbase[b];
+        books[b].K2 = book_K2[b];
+        books[b].vals = vals_all + book_valbase[b];
+        books[b].dim = book_dim[b];
+    }
+
+    for (long p = 0; p < npkt; p++) {
+        const uint8_t *pd = data + pkt_off[p];
+        long nbits = pkt_bits[p];
+        long pos = 0;
+        int32_t *posts = out_posts + p * ch * Pmax;
+        uint8_t *nz = out_nonzero + p * ch;
+        float *res = out_res + (long)p * ch * n2max;
+        out_W[p] = -1;
+        out_mode[p] = -1;
+        for (int c = 0; c < ch; c++)
+            nz[c] = 0;
+
+        long b0 = rd_bits(pd, nbits, &pos, 1);
+        if (b0 != 0)
+            continue;
+        long mode = rd_bits(pd, nbits, &pos, modebits);
+        if (mode < 0 || mode >= nmodes)
+            continue;
+        int W = mode_blockflag[mode];
+        if (W) {
+            if (rd_bits(pd, nbits, &pos, 2) < 0)
+                continue;       /* OV_EBADPACKET in the reference */
+        }
+        out_W[p] = W;
+        out_mode[p] = (int32_t)mode;
+        long n2 = (W ? bs1 : bs0) / 2;
+        int mapidx = mode_map[mode];
+        const int32_t *chmux = map_chmux + (long)mapidx * ch;
+        const int32_t *floorsub = map_floorsub + (long)mapidx * submax;
+        const int32_t *ressub = map_ressub + (long)mapidx * submax;
+        int submaps = map_submaps[mapidx];
+
+        /* ---- floors (floor1_inverse1 incl. unwrap), per channel in
+         * channel order, each with its submap's floor config ---- */
+        for (int c = 0; c < ch; c++) {
+            const int32_t *fc = flcfg + flcfg_off[floorsub[chmux[c]]];
+            int P = fc[0], qbits = fc[1], partitions = fc[2];
+            long quant_q = fc[3];
+            int nclasses = fc[4];
+            const int32_t *pclass = fc + 5;
+            const int32_t *cls_tab = fc + 5 + partitions;
+            const int32_t *postlist = cls_tab + nclasses * 11;
+            const int32_t *lonb = postlist + P;
+            const int32_t *hinb = lonb + (P - 2);
+            int32_t *fit = posts + c * Pmax;
+            for (int i = 0; i < P; i++)
+                fit[i] = 0;
+            long one = rd_bits(pd, nbits, &pos, 1);
+            if (one != 1)
+                continue;       /* unused channel (or EOP) */
+            long f0 = rd_bits(pd, nbits, &pos, qbits);
+            long f1 = rd_bits(pd, nbits, &pos, qbits);
+            if (f0 < 0 || f1 < 0)
+                continue;
+            fit[0] = (int32_t)f0;
+            fit[1] = (int32_t)f1;
+            int j = 2, dead = 0;
+            for (int i = 0; i < partitions && !dead; i++) {
+                int cl = pclass[i];
+                const int32_t *ct = cls_tab + cl * 11;
+                int cdim = ct[0], csubbits = ct[1];
+                int csub = 1 << csubbits;
+                long cval = 0;
+                if (csubbits) {
+                    int bk = ct[2];
+                    cval = vn_huff1(pd, nbits, &pos, books[bk].t1,
+                                    books[bk].sec, books[bk].soff,
+                                    books[bk].K2);
+                    if (cval < 0) {
+                        dead = 1;
+                        break;
+                    }
+                }
+                for (int k = 0; k < cdim; k++) {
+                    int bk = ct[3 + (cval & (csub - 1))];
+                    cval >>= csubbits;
+                    if (bk >= 0) {
+                        long e = vn_huff1(pd, nbits, &pos,
+                                          books[bk].t1, books[bk].sec,
+                                          books[bk].soff, books[bk].K2);
+                        if (e < 0) {
+                            dead = 1;
+                            break;
+                        }
+                        fit[j + k] = (int32_t)e;
+                    } else {
+                        fit[j + k] = 0;
+                    }
+                }
+                j += cdim;
+            }
+            if (dead)
+                continue;       /* EOP mid-floor: channel unused */
+            /* unwrap predictions */
+            for (int i = 2; i < P; i++) {
+                int lo = lonb[i - 2], hi = hinb[i - 2];
+                long pred = vn_render_pt(postlist[lo], postlist[hi],
+                                         fit[lo], fit[hi], postlist[i]);
+                long hiroom = quant_q - pred;
+                long loroom = pred;
+                long room = (hiroom < loroom ? hiroom : loroom) << 1;
+                long val = fit[i];
+                if (val) {
+                    if (val >= room) {
+                        val = hiroom > loroom ? val - loroom
+                                              : -1 - (val - hiroom);
+                    } else {
+                        val = (val & 1) ? -((val + 1) >> 1) : (val >> 1);
+                    }
+                    fit[i] = (int32_t)((val + pred) & 0x7FFF);
+                    fit[lo] &= 0x7FFF;
+                    fit[hi] &= 0x7FFF;
+                } else {
+                    fit[i] = (int32_t)(pred | 0x8000);
+                }
+            }
+            nz[c] = 1;
+        }
+
+        /* ---- coupling nonzero propagation ---- */
+        uint8_t dnd[64];         /* do-not-decode per channel */
+        {
+            uint8_t nz2[64];
+            for (int c = 0; c < ch; c++)
+                nz2[c] = nz[c];
+            int nc = cpl_count[mapidx];
+            const int32_t *cm = cpl_mag + (long)mapidx * maxcpl;
+            const int32_t *ca = cpl_ang + (long)mapidx * maxcpl;
+            for (int k = 0; k < nc; k++) {
+                if (nz2[cm[k]] || nz2[ca[k]]) {
+                    nz2[cm[k]] = 1;
+                    nz2[ca[k]] = 1;
+                }
+            }
+            for (int c = 0; c < ch; c++)
+                dnd[c] = !nz2[c];
+        }
+
+        /* ---- residues, per submap ---- */
+        for (int sm = 0; sm < submaps; sm++) {
+            int chans[64];
+            int nch = 0;
+            for (int c = 0; c < ch; c++)
+                if (chmux[c] == sm)
+                    chans[nch++] = c;
+            if (!nch)
+                continue;
+            const int32_t *rc = rescfg + rescfg_off[ressub[sm]];
+            int rtype = rc[0];
+            long begin = rc[1], end = rc[2], grouping = rc[3];
+            int possible = rc[4], stages = rc[5];
+            int phb = rc[6], ppw = rc[7];
+            long pv_limit = rc[8];
+            const int32_t *secondstages = rc + 9;
+            const int32_t *partbooks = rc + 9 + possible;
+
+            if (rtype == 2) {
+                int any = 0;
+                for (int j = 0; j < nch; j++)
+                    if (!dnd[chans[j]])
+                        any = 1;
+                if (!any)
+                    continue;
+                long maxv = n2 * nch;
+                long e2 = end < maxv ? end : maxv;
+                long n = e2 - begin;
+                if (n <= 0)
+                    continue;
+                long partvals = n / grouping;
+                long partwords = (partvals + ppw - 1) / ppw;
+                if (partwords * ppw > pwmax)
+                    continue;
+                int32_t *pw = partword_buf;
+                int eop = 0;
+                for (int s = 0; s < stages && !eop; s++) {
+                    long i = 0, l = 0;
+                    while (i < partvals && !eop) {
+                        if (s == 0) {
+                            long temp = vn_huff1(pd, nbits, &pos,
+                                                 books[phb].t1,
+                                                 books[phb].sec,
+                                                 books[phb].soff,
+                                                 books[phb].K2);
+                            if (temp < 0 || temp >= pv_limit) {
+                                eop = 1;
+                                break;
+                            }
+                            for (int k = ppw - 1; k >= 0; k--) {
+                                pw[l * ppw + k] =
+                                    (int32_t)(temp % possible);
+                                temp /= possible;
+                            }
+                        }
+                        for (int k = 0; k < ppw && i < partvals && !eop;
+                             k++, i++) {
+                            int cls = pw[l * ppw + k];
+                            if (!(secondstages[cls] & (1 << s)))
+                                continue;
+                            int bk = partbooks[cls * stages + s];
+                            if (bk < 0)
+                                continue;
+                            /* decodevv_add over the submap bundle */
+                            {
+                                long offset = begin + i * grouping;
+                                long lo = offset / nch;
+                                long hi2 = (offset + grouping) / nch;
+                                int dim = books[bk].dim;
+                                const float *bv = books[bk].vals;
+                                int chptr = 0;
+                                long ii = lo;
+                                while (ii < hi2) {
+                                    long e = vn_huff1(pd, nbits, &pos,
+                                                      books[bk].t1,
+                                                      books[bk].sec,
+                                                      books[bk].soff,
+                                                      books[bk].K2);
+                                    if (e < 0) {
+                                        eop = 1;
+                                        break;
+                                    }
+                                    const float *t = bv + e * dim;
+                                    /* full dim per entry, no mid-entry
+                                     * stop — matches decodevv_add (i
+                                     * can pass the range end inside
+                                     * the final entry) */
+                                    for (int jj = 0; jj < dim; jj++) {
+                                        if (ii < n2max)
+                                            res[chans[chptr] * n2max
+                                                + ii] += t[jj];
+                                        if (++chptr == nch) {
+                                            chptr = 0;
+                                            ii++;
+                                        }
+                                    }
+                                }
+                            }
+                        }
+                        l++;
+                    }
+                }
+                continue;
+            }
+
+            /* types 0/1 */
+            {
+                int used[64];
+                int nused = 0;
+                for (int j = 0; j < nch; j++)
+                    if (!dnd[chans[j]])
+                        used[nused++] = chans[j];
+                if (!nused)
+                    continue;
+                long e2 = end < n2 ? end : n2;
+                long n = e2 - begin;
+                if (n <= 0)
+                    continue;
+                long partvals = n / grouping;
+                long partwords = (partvals + ppw - 1) / ppw;
+                if (partwords * ppw > pwmax)
+                    continue;
+                int eop = 0;
+                for (int s = 0; s < stages && !eop; s++) {
+                    long i = 0, l = 0;
+                    while (i < partvals && !eop) {
+                        if (s == 0) {
+                            for (int j = 0; j < nused; j++) {
+                                long temp = vn_huff1(pd, nbits, &pos,
+                                                     books[phb].t1,
+                                                     books[phb].sec,
+                                                     books[phb].soff,
+                                                     books[phb].K2);
+                                if (temp < 0 || temp >= pv_limit) {
+                                    eop = 1;
+                                    break;
+                                }
+                                for (int k = ppw - 1; k >= 0; k--) {
+                                    partword_buf[(j * pwmax)
+                                                 + l * ppw + k] =
+                                        (int32_t)(temp % possible);
+                                    temp /= possible;
+                                }
+                            }
+                            if (eop)
+                                break;
+                        }
+                        for (int k = 0; k < ppw && i < partvals && !eop;
+                             k++, i++) {
+                            for (int j = 0; j < nused && !eop; j++) {
+                                int cls = partword_buf[j * pwmax
+                                                       + l * ppw + k];
+                                if (!(secondstages[cls] & (1 << s)))
+                                    continue;
+                                int bk = partbooks[cls * stages + s];
+                                if (bk < 0)
+                                    continue;
+                                {
+                                    long offset = begin + i * grouping;
+                                    int dim = books[bk].dim;
+                                    const float *bv = books[bk].vals;
+                                    float *a = res + used[j] * n2max;
+                                    if (rtype == 1) {
+                                        /* decodev_add: partial entries
+                                         * kept, full dim per entry */
+                                        long ii = 0;
+                                        while (ii < grouping) {
+                                            long e = vn_huff1(
+                                                pd, nbits, &pos,
+                                                books[bk].t1,
+                                                books[bk].sec,
+                                                books[bk].soff,
+                                                books[bk].K2);
+                                            if (e < 0) {
+                                                eop = 1;
+                                                break;
+                                            }
+                                            const float *t = bv
+                                                + e * dim;
+                                            for (int jj = 0; jj < dim;
+                                                 jj++) {
+                                                long x = offset + ii++;
+                                                if (x < n2max)
+                                                    a[x] += t[jj];
+                                            }
+                                        }
+                                    } else {
+                                        /* decodevs_add: all entries
+                                         * decode first; truncated call
+                                         * applies NOTHING */
+                                        long step = grouping / dim;
+                                        long ents[512];
+                                        if (step > 512) {
+                                            eop = 1;
+                                            break;
+                                        }
+                                        for (long t2 = 0; t2 < step;
+                                             t2++) {
+                                            ents[t2] = vn_huff1(
+                                                pd, nbits, &pos,
+                                                books[bk].t1,
+                                                books[bk].sec,
+                                                books[bk].soff,
+                                                books[bk].K2);
+                                            if (ents[t2] < 0) {
+                                                eop = 1;
+                                                break;
+                                            }
+                                        }
+                                        if (eop)
+                                            break;
+                                        for (int d = 0; d < dim; d++) {
+                                            long o = offset + d * step;
+                                            for (long t2 = 0; t2 < step;
+                                                 t2++) {
+                                                long x = o + t2;
+                                                if (x < n2max)
+                                                    a[x] += bv[
+                                                        ents[t2] * dim
+                                                        + d];
+                                            }
+                                        }
+                                    }
+                                }
+                            }
+                        }
+                        l++;
+                    }
+                }
+            }
+        }
+
+        /* ---- inverse coupling (mapping0.c:1380-1477), reversed
+         * order, over the full spectrum half ---- */
+        {
+            int nc = cpl_count[mapidx];
+            const int32_t *cm = cpl_mag + (long)mapidx * maxcpl;
+            const int32_t *ca = cpl_ang + (long)mapidx * maxcpl;
+            for (int k = nc - 1; k >= 0; k--) {
+                float *M = res + cm[k] * n2max;
+                float *A = res + ca[k] * n2max;
+                for (long i = 0; i < n2; i++) {
+                    float mag = M[i], ang = A[i];
+                    if (mag > 0.f) {
+                        if (ang > 0.f) {
+                            M[i] = mag;
+                            A[i] = mag - ang;
+                        } else {
+                            M[i] = mag + ang;
+                            A[i] = mag;
+                        }
+                    } else {
+                        if (ang > 0.f) {
+                            M[i] = mag;
+                            A[i] = mag + ang;
+                        } else {
+                            M[i] = mag - ang;
+                            A[i] = mag;
+                        }
+                    }
+                }
+            }
+        }
+
+        /* ---- floor render + multiply (floor1_inverse2: render_line
+         * DDA over sorted used posts, fromdB gain per bin).  Channels
+         * with an unused floor zero out (mapping0.c:1480-1486). ---- */
+        for (int c = 0; c < ch; c++) {
+            float *a = res + c * n2max;
+            if (!nz[c]) {
+                for (long i = 0; i < n2max; i++)
+                    a[i] = 0.f;
+                continue;
+            }
+            {
+                const int32_t *fc = flcfg
+                    + flcfg_off[floorsub[chmux[c]]];
+                int P = fc[0], partitions = fc[2];
+                int nclasses = fc[4];
+                const int32_t *postlist = fc + 5 + partitions
+                    + nclasses * 11;
+                const int32_t *tail = postlist + P + 2 * (P - 2);
+                int mult = tail[0];
+                const int32_t *fwdi = tail + 1;
+                const int32_t *fit = posts + c * Pmax;
+                long lx = 0;
+                long ly = (long)fit[0] * mult;
+                if (ly < 0)
+                    ly = 0;
+                if (ly > 255)
+                    ly = 255;
+                long hx = 0;
+                for (int j = 1; j < P; j++) {
+                    int cur = fwdi[j];
+                    long hyraw = fit[cur] & 0x7FFF;
+                    if (hyraw != fit[cur])
+                        continue;       /* interpolated post */
+                    hx = postlist[cur];
+                    {
+                        long hy = hyraw * mult;
+                        if (hy < 0)
+                            hy = 0;
+                        if (hy > 255)
+                            hy = 255;
+                        {
+                            long dy = hy - ly;
+                            long adx = hx - lx;
+                            long base = dy / adx;   /* trunc == C */
+                            long ady = (dy < 0 ? -dy : dy)
+                                - (base < 0 ? -base : base) * adx;
+                            long end = hx < n2 ? hx : n2;
+                            long sgn = dy < 0 ? -1 : 1;
+                            for (long x = lx, k = 0; x < end;
+                                 x++, k++) {
+                                long yv = ly + base * k
+                                    + sgn * ((k * ady) / adx);
+                                a[x] *= fromdB[yv];
+                            }
+                        }
+                        lx = hx;
+                        ly = hy;
+                    }
+                }
+                for (long x = (hx > 0 ? hx : 0); x < n2; x++)
+                    a[x] *= fromdB[ly];
+                for (long x = n2; x < n2max; x++)
+                    a[x] = 0.f;
+            }
+        }
+    }
+    return 0;
+}
+
+/* ===================================================================
+ * Batched bit-exact IMDCT (reference: lib/mdct.c mdct_backward).
+ *
+ * Executes the SAME expression trees as vorbis_tpu/ops/mdct.py imdct()
+ * — stage A pre-rotation through the precomputed gather tables, the
+ * radix-2 cascade, the 32/16/8-point butterfly tails, bitreverse
+ * rotation, final rotation + symmetric expansion — scalar per frame,
+ * tables marshaled from Python.  Float32 ops in identical order =
+ * bit-identical output (build with -ffp-contract=off; no FMA).
+ */
+
+static const float VN_cPI1_8 = 0.92387953f;
+static const float VN_cPI2_8 = 0.70710678f;
+static const float VN_cPI3_8 = 0.38268343f;
+
+static void vn_bf8(float *x)
+{
+    float r0 = x[6] + x[2], r1 = x[6] - x[2];
+    float r2 = x[4] + x[0], r3 = x[4] - x[0];
+    float n6 = r0 + r2, n4 = r0 - r2;
+    float s0 = x[5] - x[1], s2 = x[7] - x[3];
+    float n0 = r1 + s0, n2 = r1 - s0;
+    float u0 = x[5] + x[1], u1 = x[7] + x[3];
+    float n3 = s2 + r3, n1 = s2 - r3;
+    float n7 = u1 + u0, n5 = u1 - u0;
+    x[0] = n0; x[1] = n1; x[2] = n2; x[3] = n3;
+    x[4] = n4; x[5] = n5; x[6] = n6; x[7] = n7;
+}
+
+static void vn_bf16(float *x)
+{
+    float c2 = VN_cPI2_8;
+    float r0 = x[1] - x[9], r1 = x[0] - x[8];
+    float n8 = x[8] + x[0], n9 = x[9] + x[1];
+    float n0 = (r0 + r1) * c2, n1 = (r0 - r1) * c2;
+    float r0b = x[3] - x[11], r1b = x[10] - x[2];
+    float n10 = x[10] + x[2], n11 = x[11] + x[3];
+    float n2 = r0b, n3 = r1b;
+    float r0c = x[12] - x[4], r1c = x[13] - x[5];
+    float n12 = x[12] + x[4], n13 = x[13] + x[5];
+    float n4 = (r0c - r1c) * c2, n5 = (r0c + r1c) * c2;
+    float r0d = x[14] - x[6], r1d = x[15] - x[7];
+    float n14 = x[14] + x[6], n15 = x[15] + x[7];
+    float n6 = r0d, n7 = r1d;
+    x[0] = n0; x[1] = n1; x[2] = n2; x[3] = n3;
+    x[4] = n4; x[5] = n5; x[6] = n6; x[7] = n7;
+    x[8] = n8; x[9] = n9; x[10] = n10; x[11] = n11;
+    x[12] = n12; x[13] = n13; x[14] = n14; x[15] = n15;
+    vn_bf8(x);
+    vn_bf8(x + 8);
+}
+
+static void vn_bf32(float *x)
+{
+    float c1 = VN_cPI1_8, c2 = VN_cPI2_8, c3 = VN_cPI3_8;
+    float r0 = x[30] - x[14], r1 = x[31] - x[15];
+    float n30 = x[30] + x[14], n31 = x[31] + x[15];
+    float n14 = r0, n15 = r1;
+    float r0b = x[28] - x[12], r1b = x[29] - x[13];
+    float n28 = x[28] + x[12], n29 = x[29] + x[13];
+    float n12 = r0b * c1 - r1b * c3, n13 = r0b * c3 + r1b * c1;
+    float r0c = x[26] - x[10], r1c = x[27] - x[11];
+    float n26 = x[26] + x[10], n27 = x[27] + x[11];
+    float n10 = (r0c - r1c) * c2, n11 = (r0c + r1c) * c2;
+    float r0d = x[24] - x[8], r1d = x[25] - x[9];
+    float n24 = x[24] + x[8], n25 = x[25] + x[9];
+    float n8 = r0d * c3 - r1d * c1, n9 = r1d * c3 + r0d * c1;
+    float r0e = x[22] - x[6], r1e = x[7] - x[23];
+    float n22 = x[22] + x[6], n23 = x[23] + x[7];
+    float n6 = r1e, n7 = r0e;
+    float r0f = x[4] - x[20], r1f = x[5] - x[21];
+    float n20 = x[20] + x[4], n21 = x[21] + x[5];
+    float n4 = r1f * c1 + r0f * c3, n5 = r1f * c3 - r0f * c1;
+    float r0g = x[2] - x[18], r1g = x[3] - x[19];
+    float n18 = x[18] + x[2], n19 = x[19] + x[3];
+    float n2 = (r1g + r0g) * c2, n3 = (r1g - r0g) * c2;
+    float r0h = x[0] - x[16], r1h = x[1] - x[17];
+    float n16 = x[16] + x[0], n17 = x[17] + x[1];
+    float n0 = r1h * c3 + r0h * c1, n1 = r1h * c1 - r0h * c3;
+    x[0] = n0; x[1] = n1; x[2] = n2; x[3] = n3;
+    x[4] = n4; x[5] = n5; x[6] = n6; x[7] = n7;
+    x[8] = n8; x[9] = n9; x[10] = n10; x[11] = n11;
+    x[12] = n12; x[13] = n13; x[14] = n14; x[15] = n15;
+    x[16] = n16; x[17] = n17; x[18] = n18; x[19] = n19;
+    x[20] = n20; x[21] = n21; x[22] = n22; x[23] = n23;
+    x[24] = n24; x[25] = n25; x[26] = n26; x[27] = n27;
+    x[28] = n28; x[29] = n29; x[30] = n30; x[31] = n31;
+    vn_bf16(x);
+    vn_bf16(x + 16);
+}
+
+long vn_imdct_batch(
+    const float *spec, long B, int n, const float *T,
+    const int32_t *ia, const int32_t *ib, const int32_t *ta,
+    const int32_t *tb, const float *sa, const float *sb,
+    const int32_t *stageP, const int64_t *stage_off, int nstages,
+    const int32_t *tc_all,
+    const int32_t *e0, const int32_t *e1, const int32_t *tC,
+    const int32_t *tD,
+    float *out, float *y /* scratch, n/2 floats */)
+{
+    int n2 = n >> 1, n4 = n >> 2, n8 = n >> 3;
+    for (long f = 0; f < B; f++) {
+        const float *x = spec + f * n2;
+        float *o = out + (long)f * n;
+
+        /* stage A: pre-rotation */
+        for (int i = 0; i < n2; i++)
+            y[i] = sa[i] * x[ia[i]] * T[ta[i]]
+                 + sb[i] * x[ib[i]] * T[tb[i]];
+
+        /* stage B: radix-2 cascade */
+        for (int s = 0; s < nstages; s++) {
+            int P = stageP[s];
+            const int32_t *tc = tc_all + stage_off[s];
+            int half = P >> 1, nc = P >> 2;
+            for (int b = 0; b < n2 / P; b++) {
+                float *lo = y + b * P;
+                float *hi = lo + half;
+                for (int m = 0; m < nc; m++) {
+                    float h0 = hi[2 * m], h1 = hi[2 * m + 1];
+                    float l0 = lo[2 * m], l1 = lo[2 * m + 1];
+                    float r0 = h0 - l0, r1 = h1 - l1;
+                    float c = T[tc[m]], sn = T[tc[m] + 1];
+                    hi[2 * m] = h0 + l0;
+                    hi[2 * m + 1] = h1 + l1;
+                    lo[2 * m] = r1 * sn + r0 * c;
+                    lo[2 * m + 1] = r1 * c - r0 * sn;
+                }
+            }
+        }
+        for (int b = 0; b < n2 / 32; b++)
+            vn_bf32(y + b * 32);
+
+        /* stage C: bitreverse + half-angle rotation into o[0:n2]
+         * (z buffer) */
+        {
+            float *z = o;        /* reuse output low half as z scratch */
+            for (int m = 0; m < n8; m++) {
+                float a0 = y[e0[m]], a1 = y[e0[m] + 1];
+                float b0 = y[e1[m]], b1 = y[e1[m] + 1];
+                float c = T[tC[m]], sn = T[tC[m] + 1];
+                float r0 = a1 - b1, r1 = a0 + b0;
+                float r2 = r1 * c + r0 * sn;
+                float r3 = r1 * sn - r0 * c;
+                float r0h = 0.5f * (a1 + b1);
+                float r1h = 0.5f * (a0 - b0);
+                z[2 * m] = r0h + r2;
+                z[2 * m + 1] = r1h + r3;
+                z[n4 + 2 * (n8 - 1 - m)] = r0h - r2;
+                z[n4 + 2 * (n8 - 1 - m) + 1] = r3 - r1h;
+            }
+            /* stage D: final rotation + symmetric expansion.  a/b are
+             * computed into y[] first since o aliases z. */
+            for (int i = 0; i < n4; i++) {
+                float z0 = z[2 * i], z1 = z[2 * i + 1];
+                float c = T[tD[i]], sn = T[tD[i] + 1];
+                y[i] = z0 * sn - z1 * c;            /* a[i] */
+                y[n4 + i] = -(z0 * c + z1 * sn);    /* b[i] */
+            }
+            for (int i = 0; i < n4; i++) {
+                o[i] = y[n4 - 1 - i];
+                o[n4 + i] = -y[i];
+                o[n2 + i] = y[n4 + (n4 - 1 - i)];
+                o[n2 + n4 + i] = y[n4 + i];
+            }
+        }
+    }
+    return 0;
+}

@@ -1,0 +1,80 @@
+"""Fast batched decoder tests (models/fastdec.py + native
+vn_parse_packets/vn_imdct_batch): must be BIT-EXACT vs the scalar
+Decoder on every supported stream shape, and fall back gracefully."""
+
+import numpy as np
+import pytest
+
+from tests import oracle
+from vorbis_tpu.codec.decoder import decode_ogg
+from vorbis_tpu.models.fastdec import (FastDecodeUnsupported,
+                                       decode_ogg_fast)
+
+
+@pytest.mark.parametrize("q,rate,ch", [
+    (0.5, 44100, 2),
+    (0.3, 44100, 2),
+    (-0.1, 44100, 2),    # 512/4096 blocks
+    (1.0, 44100, 2),
+    (0.2, 8000, 1),
+    (0.4, 48000, 6),     # 5.1: multi-submap, res2 coupling
+    (0.5, 96000, 2),
+])
+def test_fastdec_bit_exact_vs_scalar(q, rate, ch, tmp_path):
+    pcm = oracle.make_test_signal(rate=rate, seconds=0.6, ch=ch)
+    data = oracle.encode_vbr(pcm, rate, q,
+                             str(tmp_path / "fd.ogg"))
+    want, _ = decode_ogg(data)
+    got, _ = decode_ogg_fast(data)
+    assert got.shape == want.shape
+    assert np.array_equal(got, want), np.abs(got - want).max()
+
+
+def test_fastdec_native_imdct_bit_exact():
+    from vorbis_tpu.native import imdct_batch
+    from vorbis_tpu.ops.mdct import imdct
+    rng = np.random.RandomState(0)
+    for n in (128, 256, 2048, 8192):
+        spec = rng.randn(17, n // 2).astype(np.float32)
+        got = imdct_batch(spec, n)
+        if got is None:
+            pytest.skip("native lib unavailable")
+        assert np.array_equal(got, np.asarray(imdct(spec, n)))
+
+
+def test_fastdec_vorbisfile_batched_path(tmp_path):
+    """read_all_float must route through the fast drain and still
+    equal the sequential per-packet reads exactly."""
+    from vorbis_tpu.vorbisfile import OggVorbisFile
+    pcm = oracle.make_test_signal(seconds=0.7)
+    data = oracle.encode_vbr(pcm, 44100, 0.4, str(tmp_path / "vf.ogg"))
+    fast = OggVorbisFile(data).read_all_float()
+    vf = OggVorbisFile(data)
+    seq = []
+    while True:
+        c = vf.read_float(1000)
+        if c.shape[1] == 0:
+            break
+        seq.append(c)
+    seq = np.concatenate(seq, axis=1)
+    assert np.array_equal(fast, seq)
+
+
+def test_fastdec_corrupt_stream_no_crash(tmp_path):
+    """Mid-stream corruption: the fast path either decodes (the parser
+    treats bad packets per reference EOP semantics) or raises the
+    typed fallback error — never crashes, and vorbisfile still
+    produces output via its fallback."""
+    from vorbis_tpu.vorbisfile import OggVorbisFile
+    pcm = oracle.make_test_signal(seconds=0.5)
+    data = bytearray(oracle.encode_vbr(pcm, 44100, 0.5,
+                                       str(tmp_path / "cr.ogg")))
+    rng = np.random.RandomState(1)
+    for _ in range(8):
+        data[rng.randint(len(data) // 2, len(data))] ^= 0xFF
+    try:
+        decode_ogg_fast(bytes(data))
+    except FastDecodeUnsupported:
+        pass
+    out = OggVorbisFile(bytes(data)).read_all_float()
+    assert np.isfinite(out).all()

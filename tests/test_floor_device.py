@@ -102,9 +102,14 @@ def test_device_render_bit_exact(captures):
                 pred = FC.render_point(
                     lk.info.postlist[ln], lk.info.postlist[hn],
                     int(eo[ln]), int(eo[hn]), lk.info.postlist[i])
-                eo[i] = ((pred | 0x8000)
-                         if ((post[i] & 0x8000) or pred == post[i])
-                         else post[i])
+                if (post[i] & 0x8000) or pred == post[i]:
+                    eo[i] = pred | 0x8000
+                else:
+                    eo[i] = post[i]
+                    # an explicitly-coded post anchors its neighbors
+                    # (floor1.c floor1_encode / floor1_inverse1)
+                    eo[ln] &= 0x7FFF
+                    eo[hn] &= 0x7FFF
             assert np.array_equal(qp[k] & 0xFFFF, eo & 0xFFFF)
             assert np.array_equal(cur[k], FC.floor1_curve(eo, lk, lk.n))
             checked += 1

@@ -169,6 +169,8 @@ def test_graft_entry_contracts():
     import jax
 
     fn, args = g.entry()
-    out = np.asarray(jax.jit(fn)(*args))
-    assert out.shape == (8, 1024) and np.isfinite(out).all()
+    pk, nb = jax.jit(fn)(*args)
+    pk, nb = np.asarray(pk), np.asarray(nb)
+    assert pk.ndim == 2 and pk.dtype == np.uint8
+    assert nb.shape == (pk.shape[0],) and (nb > 0).all()
     g.dryrun_multichip(8)

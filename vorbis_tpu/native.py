@@ -154,6 +154,63 @@ class HuffDecoder:
         return out[:got], int(p.value), int(got)
 
 
+def imdct_batch(spec: np.ndarray, n: int):
+    """Native bit-exact batched IMDCT (vn_imdct_batch): (B, n//2)
+    float32 -> (B, n).  Returns None when the library is unavailable —
+    caller falls back to ops.mdct.imdct (identical output)."""
+    L = _load()
+    if L is None:
+        return None
+    from .ops.mdct import _imdct_index_tables
+    tbl = _imdct_index_tables(n)
+    key = f"_imdct_pack_{n}"
+    pack = getattr(L, key, None)
+    if pack is None:
+        stageP = np.asarray([p for p, _ in tbl["stages"]], np.int32)
+        offs, tcs = [], []
+        acc = 0
+        for _, tc in tbl["stages"]:
+            offs.append(acc)
+            tcs.append(np.asarray(tc, np.int32))
+            acc += len(tc)
+        pack = dict(
+            T=np.ascontiguousarray(tbl["T"], np.float32),
+            ia=np.ascontiguousarray(tbl["ia"], np.int32),
+            ib=np.ascontiguousarray(tbl["ib"], np.int32),
+            ta=np.ascontiguousarray(tbl["ta"], np.int32),
+            tb=np.ascontiguousarray(tbl["tb"], np.int32),
+            sa=np.ascontiguousarray(tbl["sa"], np.float32),
+            sb=np.ascontiguousarray(tbl["sb"], np.float32),
+            stageP=stageP,
+            stage_off=np.asarray(offs, np.int64),
+            tc_all=(np.concatenate(tcs).astype(np.int32)
+                    if tcs else np.zeros(1, np.int32)),
+            e0=np.ascontiguousarray(tbl["e0"], np.int32),
+            e1=np.ascontiguousarray(tbl["e1"], np.int32),
+            tC=np.ascontiguousarray(tbl["tC"], np.int32),
+            tD=np.ascontiguousarray(tbl["tD"], np.int32))
+        setattr(L, key, pack)
+    spec = np.ascontiguousarray(spec, np.float32)
+    B = spec.shape[0]
+    out = np.empty((B, n), np.float32)
+    scratch = np.empty(n // 2, np.float32)
+
+    def ptr(a):
+        return C.c_void_p(a.ctypes.data)
+
+    L.vn_imdct_batch.restype = C.c_long
+    L.vn_imdct_batch.argtypes = None
+    L.vn_imdct_batch(
+        ptr(spec), C.c_long(B), C.c_int(n), ptr(pack["T"]),
+        ptr(pack["ia"]), ptr(pack["ib"]), ptr(pack["ta"]),
+        ptr(pack["tb"]), ptr(pack["sa"]), ptr(pack["sb"]),
+        ptr(pack["stageP"]), ptr(pack["stage_off"]),
+        C.c_int(len(pack["stageP"])), ptr(pack["tc_all"]),
+        ptr(pack["e0"]), ptr(pack["e1"]), ptr(pack["tC"]),
+        ptr(pack["tD"]), ptr(out), ptr(scratch))
+    return out
+
+
 def ogg_crc(data: bytes, crc: int = 0):
     """Native Ogg CRC; returns None if the library is unavailable."""
     L = _load()

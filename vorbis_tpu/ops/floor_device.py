@@ -32,14 +32,41 @@ NEG = -200
 
 
 def _render_point(x0, x1, y0, y1, x):
-    """floor1.c render_point: integer DDA closed form (vector ints)."""
+    """floor1.c render_point: integer DDA closed form (vector ints).
+
+    The floor division runs as f32 divide + trunc, which is EXACT
+    here and much faster than the VPU's integer-divide lowering:
+    err = |dy|*(x-x0) <= 1023*1024 < 2^21 and adx <= 1024 are exact in
+    f32; the quotient (err+0.5)/adx sits >= 0.5/adx ~ 4.9e-4 away from
+    every integer while the f32 division error is < 1.3e-4, so the
+    truncation can never cross an integer boundary.  (Callers mask out
+    x < x0, where err would be negative.)"""
     y0 = y0 & 0x7FFF
     y1 = y1 & 0x7FFF
     dy = y1 - y0
     adx = x1 - x0
     err = jnp.abs(dy) * (x - x0)
-    off = err // jnp.maximum(adx, 1)
+    off = ((err.astype(jnp.float32) + f32(0.5))
+           / jnp.maximum(adx, 1).astype(jnp.float32)).astype(jnp.int32)
     return jnp.where(dy < 0, y0 - off, y0 + off)
+
+
+def exact_lookup_256(y, table):
+    """table[y] for int y in [0, 256) WITHOUT a computed-index gather
+    (XLA's TPU lowering serializes those at ~10 ns/element): two 16-way
+    one-hot selects — a (.., 16) x (16, 16) matmul picks the table row,
+    an elementwise masked sum picks the column.  Bit-exact: every term
+    but the selected one is 0.0, and float adds of 0.0 are exact."""
+    T = jnp.asarray(table, jnp.float32).reshape(16, 16)
+    hi = y >> 4
+    lo = y & 15
+    r16 = jnp.arange(16, dtype=jnp.int32)
+    oh_hi = (hi[..., None] == r16).astype(jnp.float32)
+    oh_lo = (lo[..., None] == r16).astype(jnp.float32)
+    rows = jax.lax.dot(oh_hi.reshape(-1, 16), T,
+                       precision=jax.lax.Precision.HIGHEST) \
+        .reshape(y.shape + (16,))
+    return (rows * oh_lo).sum(-1)
 
 
 class DeviceFloorFit:
@@ -72,6 +99,17 @@ class DeviceFloorFit:
         self.seg_hi = np.minimum(sx[1:], n - 1) + 1
         self.xg = jnp.asarray(np.arange(n))
 
+    def _seg_mat_np(self):
+        """Static (n, S) segment indicator; boundary bins belong to
+        both adjacent segments (the inclusive accumulate_fit windows),
+        which the overlapping ranges encode directly."""
+        if not hasattr(self, "_seg_mat_cache"):
+            t = np.arange(self.n)[:, None]
+            self._seg_mat_cache = (
+                (t >= self.seg_lo[None, :])
+                & (t < self.seg_hi[None, :])).astype(np.float32)
+        return self._seg_mat_cache
+
     # -- stage 1: quantization + per-segment moments -------------------
     def _moments(self, quant, above):
         """quant (B, n) int, above (B, n) bool ->
@@ -85,13 +123,16 @@ class DeviceFloorFit:
         ones = jnp.ones_like(q)
         feats = jnp.stack([x, q, x * x, q * q, x * q, ones], -1)
 
+        seg_mat = jnp.asarray(self._seg_mat_np())
+
         def seg_moments(mask):
+            # bin->segment reduction as ONE f32 matmul on the MXU
+            # (was: full (B, n, 6) cumsum + boundary gathers)
             vals = jnp.where(mask[..., None], feats, 0.0)
-            bp = jnp.cumsum(vals, axis=-2)
-            zero = jnp.zeros_like(bp[..., :1, :])
-            bp = jnp.concatenate([zero, bp], axis=-2)   # (B, n+1, 6)
-            return (jnp.take(bp, self.seg_hi, axis=-2)
-                    - jnp.take(bp, self.seg_lo, axis=-2))  # (B, S, 6)
+            out = jax.lax.dot_general(
+                vals, seg_mat, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST)   # (B, 6, S)
+            return out.transpose(0, 2, 1)              # (B, S, 6)
 
         A = seg_moments(am)
         Bv = seg_moments(bm)
@@ -329,8 +370,19 @@ class DeviceFloorFit:
                 out[bidx, ln0], out[bidx, hn0],
                 jnp.broadcast_to(jnp.take(pl_t, i), (B,)))
             flag = ((post[:, i] & 0x8000) != 0) | (pred == post[:, i])
-            return out.at[:, i].set(
+            out = out.at[:, i].set(
                 jnp.where(flag, pred | 0x8000, post[:, i]))
+            # an explicitly-coded post anchors its neighbors: clear
+            # their interpolation flags exactly like the wrap coder and
+            # the decoder do (floor1.c floor1_encode post[ln]&=0x7fff /
+            # floor1_inverse1) — flags gate which posts the final
+            # render uses as segment anchors
+            unflag = ~flag
+            out = out.at[:, ln0].set(
+                jnp.where(unflag, out[:, ln0] & 0x7FFF, out[:, ln0]))
+            out = out.at[:, hn0].set(
+                jnp.where(unflag, out[:, hn0] & 0x7FFF, out[:, hn0]))
+            return out
 
         return jax.lax.fori_loop(2, self.posts, body, out)
 
@@ -394,7 +446,7 @@ class DeviceFloorFit:
         seg = hr & (hx > lx) & (t >= lx)
         y = jnp.where(seg, _render_point(lx, hx, ly, hy, t), ly)
         y = jnp.clip(y, 0, 255)
-        return jnp.take(fromdB_table, y, axis=0)
+        return exact_lookup_256(y, fromdB_table)
 
 
 def _scatter_set(arr, idx, val):

@@ -334,9 +334,22 @@ class OggVorbisFile:
         out = []
         for li in range(self._cur_link, len(self.links)):
             self._open_link(li)
+            link_pkts = [(pk, gp, eos)
+                         for pk, gp, eos, _ in self._pkt_iter]
+            # native whole-link fast drain (C packet parse + batched
+            # synthesis, bit-exact); falls back to the per-packet path
+            # for stream shapes it doesn't cover
+            try:
+                from .models.fastdec import (FastDecodeUnsupported,
+                                             FastDecoder)
+                fd = FastDecoder(self.links[li].vi)
+                out.append(fd.decode_packets(link_pkts))
+                continue
+            except FastDecodeUnsupported:
+                pass
             dec = self._decoder
             parsed = []            # (spec, W, gp, eos)
-            for pk, gp, eos, _ in self._pkt_iter:
+            for pk, gp, eos in link_pkts:
                 try:
                     spec, W = dec.parse_packet(pk)
                 except NotAudioPacket:
