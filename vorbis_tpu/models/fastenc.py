@@ -324,6 +324,33 @@ class FastEncoder:
         return (np.concatenate(vs, 1), np.concatenate(ls, 1),
                 np.concatenate(ms, 1))
 
+    def _device_pad(self, pcm_dev):
+        """Pad a device-resident (ch, ns) PCM array with the lap
+        margins (hop front, 2*hop tail) plus chunk slack, on device."""
+        hop = self.n // 2
+        CF = self.dev.chunk_packets
+        ns = pcm_dev.shape[1]
+        F = (ns + 3 * hop - self.n) // hop + 1
+        nchunks = (F + CF - 1) // CF
+        total = (nchunks - 1) * CF * hop + self.dev.chunk_samples
+        tail = total - ns - hop
+        return jnp.pad(pcm_dev, ((0, 0), (hop, tail)))
+
+    def _get_slicer(self, dtype, S):
+        """One compiled dynamic_slice for chunk extraction from the
+        padded device-resident stream."""
+        key = (np.dtype(dtype).name,)
+        if not hasattr(self, "_slicers"):
+            self._slicers = {}
+        cs = self.dev.chunk_samples
+
+        if key not in self._slicers:
+            @jax.jit
+            def slicer(x, s0):
+                return jax.lax.dynamic_slice_in_dim(x, s0, cs, axis=1)
+            self._slicers[key] = slicer
+        return self._slicers[key]
+
     # -- host side ---------------------------------------------------------
     def _frame(self, pcm):
         ch, ns = pcm.shape
@@ -348,20 +375,31 @@ class FastEncoder:
         device compute, both transfer directions, and host paging all
         overlap.  pcm may be float32 (reference scale) or int16 (the
         encoder_example WAV path; converted on device as x/32768)."""
+        is_dev = isinstance(pcm, jax.Array)
         ch, ns = pcm.shape
         assert ch == self.ch
         dev = self.dev
         n, hop = self.n, self.n // 2
         CF = dev.chunk_packets
-        if pcm.dtype == np.int16:
-            zdt = np.int16
+        if is_dev:
+            # PCM already resident in HBM (e.g. produced by a previous
+            # device stage, or pre-staged by the caller): chunks come
+            # from one compiled dynamic_slice, no host->device traffic
+            # inside the encode loop
+            zdt = pcm.dtype
+            xd = self._device_pad(pcm)
+            S = ns + 3 * hop
+            slicer = self._get_slicer(zdt, S)
         else:
-            pcm = pcm.astype(np.float32, copy=False)
-            zdt = np.float32
-        pad1 = np.zeros((ch, hop), zdt)
-        pad2 = np.zeros((ch, 2 * hop), zdt)
-        x = np.concatenate([pad1, pcm, pad2], 1)
-        F = (x.shape[1] - n) // hop + 1            # packets total
+            if pcm.dtype == np.int16:
+                zdt = np.int16
+            else:
+                pcm = pcm.astype(np.float32, copy=False)
+                zdt = np.float32
+            pad1 = np.zeros((ch, hop), zdt)
+            pad2 = np.zeros((ch, 2 * hop), zdt)
+            x = np.concatenate([pad1, pcm, pad2], 1)
+        F = (ns + 3 * hop - n) // hop + 1          # packets total
         nchunks = (F + CF - 1) // CF
         step = dev.get_step()
         wb = dev.plan.wb
@@ -376,12 +414,16 @@ class FastEncoder:
 
         def dispatch(c):
             s0 = c * CF * hop
-            sl = x[:, s0:s0 + dev.chunk_samples]
-            if sl.shape[1] < dev.chunk_samples:
-                sl = np.concatenate(
-                    [sl, np.zeros((ch, dev.chunk_samples
-                                   - sl.shape[1]), zdt)], 1)
-            pk, nb = step(jax.device_put(np.ascontiguousarray(sl)))
+            if is_dev:
+                sl = slicer(xd, s0)
+            else:
+                sl = x[:, s0:s0 + dev.chunk_samples]
+                if sl.shape[1] < dev.chunk_samples:
+                    sl = np.concatenate(
+                        [sl, np.zeros((ch, dev.chunk_samples
+                                       - sl.shape[1]), zdt)], 1)
+                sl = jax.device_put(np.ascontiguousarray(sl))
+            pk, nb = step(sl)
             pk.copy_to_host_async()
             nb.copy_to_host_async()
             return pk, nb
@@ -401,12 +443,16 @@ class FastEncoder:
                 # static worst-case byte budget (compiled lazily once)
                 big = dev.get_step(dev.plan.worst_bytes)
                 s0 = c * CF * hop
-                sl = x[:, s0:s0 + dev.chunk_samples]
-                if sl.shape[1] < dev.chunk_samples:
-                    sl = np.concatenate(
-                        [sl, np.zeros((ch, dev.chunk_samples
-                                       - sl.shape[1]), zdt)], 1)
-                pk, nb = big(jax.device_put(np.ascontiguousarray(sl)))
+                if is_dev:
+                    sl = slicer(xd, s0)
+                else:
+                    sl = x[:, s0:s0 + dev.chunk_samples]
+                    if sl.shape[1] < dev.chunk_samples:
+                        sl = np.concatenate(
+                            [sl, np.zeros((ch, dev.chunk_samples
+                                           - sl.shape[1]), zdt)], 1)
+                    sl = jax.device_put(np.ascontiguousarray(sl))
+                pk, nb = big(sl)
                 pkb = np.asarray(pk)
                 nbb = np.asarray(nb)
             hi = min(CF, F - c * CF)

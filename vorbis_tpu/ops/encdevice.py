@@ -319,6 +319,10 @@ class DeviceFastEncode:
                     if not np.array_equal(vals_np[:, k], vmap[dig]):
                         ok = False
                 assert ok, f"non-lattice residue book c{c} s{s}"
+                # the exact-int32 trunc division in _vq_stages needs
+                # integral lattice params
+                assert float(b.delta).is_integer(), b.delta
+                assert float(b.minval).is_integer(), b.minval
                 remap = np.asarray(b.remap)
                 ident = bool(np.all(remap == np.arange(E)))
                 rdig = None
@@ -577,10 +581,17 @@ class DeviceFastEncode:
                 qv4 = qvv[..., None, None]
                 ze4 = qv4 >> 1
                 t = a - mv4 + addv[..., None, None]
-                # trunc-toward-zero division (the C splits the sign
-                # branches; IEEE division is sign-symmetric so one
-                # trunc matches both)
-                v = jnp.trunc(t / dl4).astype(jnp.int32)
+                # trunc-toward-zero division.  The C computes an IEEE
+                # f32 division and truncates; XLA strength-reduces
+                # division by a compile-time constant into a
+                # reciprocal multiply, which rounds differently
+                # (1785/255 -> 6.9999995 -> 6, not 7).  Every residue
+                # lattice delta is integral and t is integer-valued,
+                # so exact int32 division (with C trunc semantics)
+                # reproduces the reference bit-for-bit.
+                ti = t.astype(jnp.int32)
+                di = dl4.astype(jnp.int32)
+                v = jnp.where(ti >= 0, ti // di, -((-ti) // di))
                 m = jnp.where(v < ze4, ((ze4 - v) << 1) - 1,
                               (v - ze4) << 1)
                 m = jnp.clip(m, 0, qv4 - 1)

@@ -65,7 +65,12 @@ class DeviceLatticeBook:
         ze = qv >> 1
         x = a.astype(jnp.float32)
         if delta != 1:
-            t = x - minval + (delta >> 1)
+            # exact trunc division in int32: XLA rewrites float
+            # division by a constant as a reciprocal multiply, which
+            # can round the quotient just below an integer (the C
+            # reference divides in IEEE f32); t is integer-valued and
+            # delta integral for every lattice book
+            t = (x - minval + (delta >> 1)).astype(jnp.int32)
             v = jnp.where(t >= 0, t // delta, -((-t) // delta))
         else:
             v = x - minval
