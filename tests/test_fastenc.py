@@ -58,6 +58,67 @@ def test_fast_quality_on_tonal_content(tmp_path, fe):
     assert ef < 2.0 * eg, (ef, eg)
 
 
+def test_fast_block_switching_on_click_train(tmp_path, fe):
+    """Transient content must produce short blocks in the stream,
+    reduce pre-echo vs the long-only pipeline, and stay competitive
+    with the golden encoder (reference behavior: envelope.c-driven
+    256/2048 switching)."""
+    from vorbis_tpu.bitstream.oggfile import OggStreamReader
+    from vorbis_tpu.codec import headers as H
+    from vorbis_tpu.codec.decoder import decode_ogg, packet_blocksize
+    from vorbis_tpu.codec.encoder import encode_vbr_stream
+    rate = 44100
+    t = np.arange(rate) / rate
+    mono = (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    clicks = [int((k + 0.5) * rate / 8) for k in range(8)]
+    for c in clicks:
+        mono[c] = 0.9
+    pcm = np.stack([mono, mono])
+
+    sw = fe.encode(pcm)
+    lo = fe.encode(pcm, switching=False)
+    g = encode_vbr_stream(pcm, 44100, 0.5)
+
+    # short-block packets present and correctly flagged
+    pkts = [p for p, _, _ in OggStreamReader(sw).packets()]
+    vi = H.parse_headers(pkts[:3])
+    sizes = [packet_blocksize(vi, p) for p in pkts[3:]]
+    assert sizes.count(256) >= 8, sizes.count(256)
+    assert sizes.count(2048) >= 8
+
+    def decode_to(path, data):
+        with open(path, "wb") as f:
+            f.write(data)
+        out, _ = oracle.decode_float(path)
+        return out
+
+    d_sw = decode_to(str(tmp_path / "sw.ogg"), sw)
+    d_lo = decode_to(str(tmp_path / "lo.ogg"), lo)
+    d_g = decode_to(str(tmp_path / "g.ogg"), g)
+    assert d_sw.shape == pcm.shape
+
+    def pre_echo(got):
+        errs = []
+        for c in clicks:
+            a, b = c - 900, c - 20
+            errs.append(np.sqrt(np.mean((got[:, a:b]
+                                         - pcm[:, a:b]) ** 2)))
+        return float(np.mean(errs))
+
+    pe_sw, pe_lo, pe_g = map(pre_echo, (d_sw, d_lo, d_g))
+    assert pe_sw < pe_lo, (pe_sw, pe_lo)          # shorts help
+    assert pe_sw < 2.0 * pe_g, (pe_sw, pe_g)
+    rms_sw = np.sqrt(np.mean((d_sw - pcm) ** 2))
+    rms_g = np.sqrt(np.mean(
+        (d_g[:, :pcm.shape[1]] - pcm[:, :d_g.shape[1]]) ** 2))
+    assert rms_sw < 1.5 * rms_g, (rms_sw, rms_g)
+    # switching prices transients properly: smaller than long-only
+    assert len(sw) < len(lo)
+    # and our decoder accepts the mixed stream bit-cleanly
+    mine, _ = decode_ogg(sw)
+    assert np.abs(mine - d_sw).max() < 1e-6
+
+
 def test_fast_silence(fe):
     pcm = np.zeros((2, 22050), np.float32)
     ogg = fe.encode(pcm)

@@ -119,8 +119,9 @@ def test_decodes_system_encoded_file(tmp_path, stream):
     pcm, _ = stream
     path = str(tmp_path / "sys.ogg")
     oracle.encode_vbr(pcm, 44100, 0.4, path)
-    with open(path, "rb") as f:
-        vf = OggVorbisFile(f)
+    # ov_fopen path form; the incremental reader keeps the file open
+    # for the object's lifetime (no whole-buffer slurp)
+    vf = OggVorbisFile(path)
     out = vf.read_all_float()
     assert out.shape == pcm.shape
     # and matches the system decoder's own PCM bit-exactly? The system
@@ -170,3 +171,87 @@ def test_decode_file_convenience(stream):
     pcm, ogg = stream
     out, vf = decode_file(ogg)
     assert out.shape == pcm.shape
+
+
+class _TrackingFile:
+    """Seekable file wrapper that records per-call read sizes (to
+    prove the incremental reader's memory stays bounded)."""
+
+    def __init__(self, path):
+        self.f = open(path, "rb")
+        self.max_read = 0
+        self.total_read = 0
+
+    def read(self, n=-1):
+        b = self.f.read(n)
+        self.max_read = max(self.max_read, len(b))
+        self.total_read += len(b)
+        return b
+
+    def seek(self, off, whence=0):
+        return self.f.seek(off, whence)
+
+    def tell(self):
+        return self.f.tell()
+
+
+def test_incremental_file_object_bounded_reads(tmp_path):
+    """Streaming + seek torture through a real file object: every read
+    stays page-bounded (no whole-buffer slurp, reference
+    ov_open_callbacks semantics)."""
+    pcm = oracle.make_test_signal(seconds=3.0)
+    path = str(tmp_path / "big.ogg")
+    data = encode_vbr_stream(pcm, 44100, 0.3)
+    with open(path, "wb") as f:
+        f.write(data)
+    tf = _TrackingFile(path)
+    vf = OggVorbisFile(tf)
+    # open must not read the whole file into memory in one call
+    assert tf.max_read <= 1 << 17, tf.max_read
+    total = vf.pcm_total()
+    assert total == pcm.shape[1]
+    # sequential streaming
+    got = []
+    for _ in range(200):
+        c = vf.read_float(4096)
+        if c.shape[1] == 0:
+            break
+        got.append(c)
+    assert sum(c.shape[1] for c in got) > 100000
+    # seek torture
+    for pos in [0, total // 3, total - 4096, total // 2, 1000]:
+        vf.pcm_seek(pos)
+        assert vf.pcm_tell() == pos
+        c = vf.read_float(1024)
+        assert c.shape[1] > 0
+    assert tf.max_read <= 1 << 17, tf.max_read
+
+
+def test_bitrate_apis(stream):
+    pcm, ogg = stream
+    vf = OggVorbisFile(ogg)
+    br = vf.bitrate()
+    dur = vf.time_total()
+    # consistent with compressed size / duration (within framing slop)
+    assert abs(br - 8 * len(ogg) / dur) / br < 0.25, br
+    assert vf.bitrate_instant() == 0
+    vf.read_float(4096)
+    inst = vf.bitrate_instant()
+    assert inst > 0
+    assert vf.bitrate_instant() == 0   # resets after each call
+
+
+def test_hole_counting_on_corrupt_page(stream):
+    pcm, ogg = stream
+    bad = bytearray(ogg)
+    # corrupt a mid-stream page body -> CRC drop -> pageno gap
+    bad[len(bad) // 2] ^= 0xFF
+    vf = OggVorbisFile(bytes(bad))
+    out = []
+    while True:
+        c = vf.read_float(1 << 16)
+        if c.shape[1] == 0:
+            break
+        out.append(c)
+    assert vf.hole_count >= 1
+    assert np.isfinite(np.concatenate(out, 1)).all()

@@ -50,8 +50,37 @@ def _enable_compile_cache():
 _enable_compile_cache()
 
 
+class _ShortCtx:
+    """Per-mode device components for the short-block (W=0) pipeline
+    of the switching fast path."""
+
+    def __init__(self, fe):
+        vi = fe.vi
+        self.n = vi.blocksizes[0]
+        self.mode_idx = next(i for i, m in enumerate(vi.modes)
+                             if m.blockflag == 0)
+        minfo = vi.modes[self.mode_idx]
+        mapping = vi.maps[minfo.mapping]
+        # impulse psy params (blocktype 0) for every short block; the
+        # golden path distinguishes impulse/padding
+        self.analysis = DeviceAnalysis(fe.setup, blocktype=0,
+                                       rate=fe.rate, W=0)
+        fl_idx = mapping.floorsubmap[mapping.chmuxlist[0]]
+        self.fl_look = fe.enc.floor_looks[fl_idx]
+        self.floor = DeviceFloorFit(self.fl_look)
+        self.fromdB = fe.fromdB
+        res_idx = mapping.residuesubmap[mapping.chmuxlist[0]]
+        self.res_look = fe.enc.residue_looks[res_idx]
+        self.res_type = vi.residue_types[res_idx]
+        assert self.res_type in (0, 1)
+        self.dvq = DeviceResidueVQ(self.res_look.info,
+                                   self.res_look.books,
+                                   self.res_look.partbooks)
+
+
 class FastEncoder:
-    def __init__(self, ch: int, rate: int, quality: float):
+    def __init__(self, ch: int, rate: int, quality: float,
+                 switching: bool = True):
         b = encsetup.setup_vbr_staged(ch, rate, quality)
         b.ctl_coupling_set(False)
         self.setup = b.init()
@@ -91,6 +120,25 @@ class FastEncoder:
         # packet bytes in one jit); lazy so the host-pack path stays
         # importable without building the column plan
         self._dev = None
+        # block switching (envelope-driven 256/2048) — on by default
+        # when the mode set has two block sizes
+        self.switching = bool(switching) and (
+            vi.blocksizes[0] != vi.blocksizes[1]
+            and any(m.blockflag == 0 for m in vi.modes))
+        self._short_ctx = None
+        self._dev_short = None
+        self._dev_gather = None
+        self._env = None
+
+    def ctx(self, W: int = 1):
+        """Per-mode component bundle; the long ctx is the encoder
+        itself (analysis/floor/dvq attributes), the short ctx is
+        built lazily."""
+        if W:
+            return self
+        if self._short_ctx is None:
+            self._short_ctx = _ShortCtx(self)
+        return self._short_ctx
 
     @property
     def dev(self):
@@ -351,6 +399,226 @@ class FastEncoder:
             self._slicers[key] = slicer
         return self._slicers[key]
 
+
+    # -- block switching (envelope-driven 256/2048) -----------------------
+    def _dev_for(self, W):
+        """DeviceFastEncode per block mode (cached)."""
+        if W:
+            return self.dev
+        if self._dev_short is None:
+            from ..ops.encdevice import DeviceFastEncode
+            self._dev_short = DeviceFastEncode(self, W=0)
+        return self._dev_short
+
+    def _gather_step(self, W, B):
+        if self._dev_gather is None:
+            self._dev_gather = {}
+        key = (W, B)
+        if key not in self._dev_gather:
+            self._dev_gather[key] = jax.jit(
+                self._dev_for(W).make_gather_step(B))
+        return self._dev_gather[key]
+
+    _ENV_STEPS = 8192        # envelope chunk, in 64-sample steps
+    _ENV_HIST = 32           # history overlap (nearDC window + stretch)
+
+    def _envelope_marks(self, xd, S):
+        """Device envelope pass over the padded device-resident stream
+        -> host bool marks (S//64 - 1,).  Fixed-size chunks with
+        history overlap keep one compiled shape."""
+        from ..ops.jaxdsp import DeviceEnvelope
+        if self._env is None:
+            env = DeviceEnvelope(self.setup.psy_global, self.ch)
+            E = self._ENV_STEPS
+
+            @jax.jit
+            def envstep(x, s0):
+                sl = jax.lax.dynamic_slice_in_dim(
+                    x, s0, (E + 1) * 64, axis=1)
+                if sl.dtype != jnp.float32:
+                    sl = sl.astype(jnp.float32) / np.float32(32768.0)
+                return env.marks(sl)
+
+            self._env = envstep
+        E = self._ENV_STEPS
+        H = self._ENV_HIST
+        nsteps = S // 64 - 1
+        if S < (E + 1) * 64:
+            # short stream: pad up to one envelope chunk (silence adds
+            # no marks)
+            xd = jnp.pad(xd, ((0, 0), (0, (E + 1) * 64 - S)))
+            S = (E + 1) * 64
+        marks = np.zeros(nsteps, bool)
+        s = 0
+        while s < nsteps:
+            s0 = min(max(0, s - H), max(0, S // 64 - (E + 1)))
+            m = np.asarray(self._env(xd, s0 * 64))
+            lo = s - s0
+            take = min(E - lo, nsteps - s)
+            marks[s:s + take] = m[lo:lo + take]
+            s += take
+        return marks
+
+    def _schedule(self, marks, ns):
+        """Envelope marks -> block schedule.  Returns (centers, W)
+        int64 arrays in padded-stream coordinates (front pad = hop);
+        mirrors the blockout decision: a long block whose window span
+        contains a mark becomes short (block.c:557-812, envelope.c
+        _ve_envelope_mark span logic)."""
+        n1 = self.n
+        n0 = self.vi.blocksizes[0]
+        hop = n1 // 2
+        mc = np.concatenate([[0], np.cumsum(marks.astype(np.int64))])
+        nmk = len(marks)
+
+        def anymark(b, e):
+            b = max(0, min(b, nmk))
+            e = max(0, min(e, nmk))
+            return e > b and mc[e] > mc[b]
+
+        cs = [hop]
+        Ws = [1]                  # first block long (covers front pad)
+        c, Wp = hop, 1
+        end_c = hop + ns
+        while c < end_c:
+            adv_p = (n1 if Wp else n0) // 4
+            c_long = c + adv_p + n1 // 4
+            b0 = (c_long - n1 // 4 - adv_p) // 64
+            e0 = (c_long + n1 // 4 + n0 // 4 + 63) // 64
+            if anymark(b0, e0):
+                W = 0
+                c = c + adv_p + n0 // 4
+            else:
+                W = 1
+                c = c_long
+            Ws.append(W)
+            cs.append(c)
+            Wp = W
+        return np.asarray(cs, np.int64), np.asarray(Ws, np.int64)
+
+    def _run_gather_batches(self, W, x64d, starts, wids, B=1024):
+        """Run the mode-W gather step over all frames (padded to B per
+        dispatch); returns (packets (F, wb) uint8, nbits (F,))."""
+        devW = self._dev_for(W)
+        step = self._gather_step(W, B)
+        F = len(starts)
+        n = devW.n
+        nr = n // 64
+        pks, nbs = [], []
+        pend = []
+        for b in range(0, max(F, 1), B):
+            sl = starts[b:b + B]
+            wd = wids[b:b + B] if wids is not None else None
+            if len(sl) < B:
+                sl = np.concatenate([sl, np.zeros(B - len(sl), np.int64)])
+                if wd is not None:
+                    wd = np.concatenate(
+                        [wd, np.full(B - len(wd), 3, np.int64)])
+            rows = (sl[:, None] // 64
+                    + np.arange(nr)[None, :]).astype(np.int32)
+            wdj = jnp.asarray((wd if wd is not None
+                               else np.zeros(B)).astype(np.int32))
+            pk, nb = step(x64d, jnp.asarray(rows), wdj)
+            pk.copy_to_host_async()
+            nb.copy_to_host_async()
+            pend.append((pk, nb))
+        wb = devW.plan.wb
+        for bi, (pk, nb) in enumerate(pend):
+            pkb = np.asarray(pk)
+            nbb = np.asarray(nb)
+            if (nbb > wb * 8).any():
+                # oversized packet: redo this batch at the static
+                # worst-case byte budget
+                big = jax.jit(devW.make_gather_step(
+                    B, devW.plan.worst_bytes))
+                sl = starts[bi * B:bi * B + B]
+                wd = wids[bi * B:bi * B + B] if wids is not None else None
+                if len(sl) < B:
+                    sl = np.concatenate(
+                        [sl, np.zeros(B - len(sl), np.int64)])
+                    if wd is not None:
+                        wd = np.concatenate(
+                            [wd, np.full(B - len(wd), 3, np.int64)])
+                rows = (sl[:, None] // 64
+                        + np.arange(nr)[None, :]).astype(np.int32)
+                wdj = jnp.asarray((wd if wd is not None
+                                   else np.zeros(B)).astype(np.int32))
+                pk, nb = big(x64d, jnp.asarray(rows), wdj)
+                pkb = np.asarray(pk)
+                nbb = np.asarray(nb)
+            pks.append(pkb)
+            nbs.append(nbb)
+        if not pks:
+            return (np.zeros((0, devW.plan.wb), np.uint8),
+                    np.zeros(0, np.int64))
+        wmax = max(p.shape[1] for p in pks)
+        pks = [np.pad(p, ((0, 0), (0, wmax - p.shape[1])))
+               if p.shape[1] < wmax else p for p in pks]
+        return (np.concatenate(pks)[:F], np.concatenate(nbs)[:F])
+
+    def _encode_switched(self, pcm, serialno, comments):
+        ch, ns = pcm.shape
+        hop = self.n // 2
+        is_dev = isinstance(pcm, jax.Array)
+        S = ((ns + hop + 4 * hop + 63) // 64) * 64 + 64
+        tail = S - ns - hop
+        if is_dev:
+            xd = jnp.pad(pcm, ((0, 0), (hop, tail)))
+        else:
+            if pcm.dtype == np.int16:
+                zdt = np.int16
+            else:
+                pcm = pcm.astype(np.float32, copy=False)
+                zdt = pcm.dtype
+            x = np.concatenate(
+                [np.zeros((ch, hop), zdt), pcm,
+                 np.zeros((ch, tail), zdt)], 1)
+            xd = jax.device_put(x)
+        x64d = xd.reshape(ch, S // 64, 64)
+        marks = self._envelope_marks(xd, S)
+        cs, Ws = self._schedule(marks, ns)
+        npkt = len(cs)
+        lW = np.concatenate([[1], Ws[:-1]])
+        nW = np.concatenate([Ws[1:], [Ws[-1]]])
+        bsz = np.where(Ws == 1, self.n, self.vi.blocksizes[0])
+        starts = cs - bsz // 2
+        wid = (lW * 2 + nW).astype(np.int64)
+
+        li = np.where(Ws == 1)[0]
+        si = np.where(Ws == 0)[0]
+        pk_l, nb_l = self._run_gather_batches(
+            1, x64d, starts[li], wid[li])
+        if len(si):
+            pk_s, nb_s = self._run_gather_batches(
+                0, x64d, starts[si], None)
+        else:
+            pk_s = np.zeros((0, 1), np.uint8)
+            nb_s = np.zeros(0, np.int64)
+
+        w = OggStreamWriter(serialno)
+        h1, h2, h3 = self.enc.header_packets(comments)
+        w.packetin(h1, 0)
+        w.flush()
+        w.packetin(h2, 0)
+        w.packetin(h3, 0)
+        w.flush()
+        ilk = np.zeros(npkt, np.int64)
+        ilk[li] = np.arange(len(li))
+        ilk[si] = np.arange(len(si))
+        for i in range(npkt):
+            if Ws[i] == 1:
+                row, bits = pk_l[ilk[i]], int(nb_l[ilk[i]])
+            else:
+                row, bits = pk_s[ilk[i]], int(nb_s[ilk[i]])
+            pkt = row[:(bits + 7) >> 3].tobytes()
+            eos = i == npkt - 1
+            gp = ns if eos else int(cs[i] - hop)
+            w.packetin(pkt, gp, eos=eos)
+            if i % 16 == 0 or eos:
+                w.flush(eos=eos)
+        w.flush()
+        return w.pageout_all()
+
     # -- host side ---------------------------------------------------------
     def _frame(self, pcm):
         ch, ns = pcm.shape
@@ -364,7 +632,7 @@ class FastEncoder:
         return x[:, idx]                       # (ch, F, n)
 
     def encode(self, pcm, serialno=778, comments=None,
-               max_in_flight=16) -> bytes:
+               max_in_flight=16, switching=None) -> bytes:
         """Full VBR fast encode of (ch, samples) -> Ogg bytes.
 
         The round-2 path: the entire per-packet pipeline (framing,
@@ -374,7 +642,15 @@ class FastEncoder:
         Chunks are dispatched ahead and fetched asynchronously so the
         device compute, both transfer directions, and host paging all
         overlap.  pcm may be float32 (reference scale) or int16 (the
-        encoder_example WAV path; converted on device as x/32768)."""
+        encoder_example WAV path; converted on device as x/32768).
+
+        With switching enabled (the default), an envelope pass drives
+        256/2048 block selection and the stream mixes short/long
+        packets like the reference encoder; switching=False forces the
+        long-only pipeline."""
+        sw = self.switching if switching is None else switching
+        if sw:
+            return self._encode_switched(pcm, serialno, comments)
         is_dev = isinstance(pcm, jax.Array)
         ch, ns = pcm.shape
         assert ch == self.ch

@@ -235,11 +235,13 @@ class DeviceFastEncode:
     codeword tables) and precomputes the column/merge/pack plan.
     """
 
-    def __init__(self, fe, chunk_packets=1024):
+    def __init__(self, fe, chunk_packets=1024, W=1):
         self.fe = fe
+        self.ctx = fe.ctx(W) if hasattr(fe, "ctx") else fe
+        self.W = W
         self.ch = fe.ch
-        self.n = fe.n
-        self.hop = fe.n // 2
+        self.n = self.ctx.n
+        self.hop = self.n // 2
         self.chunk_packets = chunk_packets
         self.chunk_samples = chunk_packets * self.hop + self.hop
         self._prepare_floor()
@@ -250,7 +252,7 @@ class DeviceFastEncode:
     # -- static preparation ------------------------------------------------
     def _prepare_floor(self):
         fe = self.fe
-        look = fe.fl_look
+        look = self.ctx.fl_look
         info = look.info
         self.fl = look
         self.P = look.posts
@@ -280,7 +282,7 @@ class DeviceFastEncode:
 
     def _prepare_residue(self):
         fe = self.fe
-        look = fe.res_look
+        look = self.ctx.res_look
         info = look.info
         self.ri = info
         self.spp = info.grouping
@@ -298,8 +300,8 @@ class DeviceFastEncode:
         for s in range(self.stages):
             row = []
             for c in range(self.possible):
-                b = (fe.dvq.books[c][s]
-                     if s < len(fe.dvq.books[c]) else None)
+                b = (self.ctx.dvq.books[c][s]
+                     if s < len(self.ctx.dvq.books[c]) else None)
                 if b is None or not (self.sec[c] >> s) & 1:
                     row.append(None)
                     continue
@@ -345,7 +347,7 @@ class DeviceFastEncode:
             for c, d in enumerate(self.res_books[s]):
                 if d is None:
                     continue
-                bk = fe.res_look.partbooks[c][s]
+                bk = self.ctx.res_look.partbooks[c][s]
                 cw[c, :d["entries"]] = np.asarray(bk.codewords,
                                                   np.uint64) \
                     .astype(np.uint32)
@@ -397,7 +399,7 @@ class DeviceFastEncode:
                     continue
                 sc = self.spp // d["dim"]
                 ml = int(np.max(np.asarray(
-                    fe.res_look.partbooks[c][s].lengths)))
+                    self.ctx.res_look.partbooks[c][s].lengths)))
                 pos_ml[:sc] = np.maximum(pos_ml[:sc], ml)
             pos_ml = np.maximum(pos_ml, 1)
             ncols = 0
@@ -700,7 +702,7 @@ class DeviceFastEncode:
                 jnp.concatenate(lens_blocks, 1))
 
     # -- the full step -------------------------------------------------------
-    def encode_flat(self, flat, F, wb):
+    def encode_flat(self, flat, F, wb, wid=None):
         """The post-framing encode body: flat (F*ch, n) raw PCM frames
         in frame-major (F, ch) order -> (packets (F, wb) uint8,
         nbits (F,) int32).  Jittable; per-frame math only (no
@@ -708,25 +710,36 @@ class DeviceFastEncode:
         mesh is embarrassingly parallel and bitwise-identical to the
         single-device result."""
         fe = self.fe
+        ctx = self.ctx
         ch = self.ch
-        md, logmdct, mask = fe.analysis.full_mask(flat)
-        posts, used = fe.floor(logmdct, mask)
+        md, logmdct, mask = ctx.analysis.full_mask(flat, wid)
+        posts, used = ctx.floor(logmdct, mask)
         codes, qposts = self._floor_wrap(posts, used)
-        curve = fe.floor.render(qposts, fe.fromdB)
+        curve = ctx.floor.render(qposts, ctx.fromdB)
         res = jnp.rint(md / curve)
         res = jnp.where(used[:, None], res, 0.0)
         pw = self._classify(res)
         entries = self._vq_stages(res, pw)
         fv, fl = self._floor_fields(codes, used)
         # header columns
+        # header: packet-type bit, mode, and (long blocks only) the
+        # lW/nW window-shape flags — actual neighbor flags when the
+        # switching path passes wid, else 1/1 (all-long stream)
+        if self.W and wid is not None:
+            wf = wid.reshape(F, ch)[:, 0].astype(jnp.uint32)
+            lw_v = (wf >> 1) & 1
+            nw_v = wf & 1
+        else:
+            lw_v = jnp.ones((F,), U32)
+            nw_v = jnp.ones((F,), U32)
         hdr_v = jnp.concatenate([
             jnp.zeros((F, 1), U32),
-            jnp.full((F, 1), fe.mode_idx, U32),
-            jnp.ones((F, 1), U32),
-            jnp.ones((F, 1), U32)], 1)
+            jnp.full((F, 1), ctx.mode_idx, U32),
+            lw_v[:, None], nw_v[:, None]], 1)
+        wbits = 1 if self.W else 0
         hdr_l = jnp.asarray(
-            np.array([1, fe.modebits, 1, 1], np.int32))[None, :] \
-            .repeat(F, 0)
+            np.array([1, fe.modebits, wbits, wbits],
+                     np.int32))[None, :].repeat(F, 0)
         fv = fv.reshape(F, ch, -1).reshape(F, -1)
         fl = fl.reshape(F, ch, -1).reshape(F, -1)
         pw_p = pw.reshape(F, ch, -1)
@@ -756,6 +769,28 @@ class DeviceFastEncode:
             frames = x[:, fidx]                     # (ch, F, n) static
             flat = frames.transpose(1, 0, 2).reshape(F * ch, n)
             return self.encode_flat(flat, F, wb)
+
+        return step
+
+    def make_gather_step(self, F, wb=None):
+        """Returns a jittable (x64, rows, wid) -> (packets, nbits)
+        step for the block-switching path: frames gathered at
+        arbitrary 64-sample-aligned offsets from the device-resident
+        stream.  x64: (ch, R, 64) PCM (f32 or i16/32768), rows:
+        (F, n//64) int32 row indices, wid: (F,) int32 window-shape id
+        (lW*2+nW, long mode only; ignored for short)."""
+        wb = wb or self.plan.wb
+        n, ch = self.n, self.ch
+        nr = n // 64
+
+        def step(x64, rows, wid):
+            if x64.dtype != jnp.float32:
+                x64 = x64.astype(jnp.float32) / f32(32768.0)
+            fr = jnp.take(x64, rows, axis=1)       # (ch, F, nr, 64)
+            flat = fr.reshape(ch, F, n).transpose(1, 0, 2) \
+                .reshape(F * ch, n)
+            w = jnp.repeat(wid, ch) if self.W else None
+            return self.encode_flat(flat, F, wb, wid=w)
 
         return step
 

@@ -159,15 +159,26 @@ class DeviceAnalysis:
     (lib/mapping0.c + _vp_noisemask) for the long-block path, batched
     over (streams/frames, channels)."""
 
-    def __init__(self, setup, blocktype=3, rate=44100):
+    def __init__(self, setup, blocktype=3, rate=44100, W=1):
         bs = setup.vi.blocksizes
-        self.n = bs[1]
+        self.W = W
+        self.n = bs[W]
         n2 = self.n // 2
         self.n2 = n2
         look = PSY.PsyLook(setup.psy_params[blocktype], setup.psy_global,
                            n2, rate)
         self.look = look
-        self.window = jnp.asarray(hybrid_window(bs[0], bs[1], 1, 1, 1))
+        if W:
+            # windows for the 4 (lW, nW) neighbor shapes; index
+            # wid = lW*2 + nW selects per frame (block switching)
+            self.windows4 = jnp.asarray(np.stack(
+                [hybrid_window(bs[0], bs[1], l, 1, nw)
+                 for l in (0, 1) for nw in (0, 1)]))
+            self.window = self.windows4[3]
+        else:
+            self.window = jnp.asarray(hybrid_window(bs[0], bs[1],
+                                                    0, 0, 0))
+            self.windows4 = None
         bark = np.asarray(look.bark)
         self.bark_lo = jnp.asarray((bark >> 16).astype(np.int32))
         self.bark_hi_raw = (bark & 0xFFFF).astype(np.int32)
@@ -202,10 +213,15 @@ class DeviceAnalysis:
         self.toneatt1 = f32(look.vi["tone_masteratt"][1])
         self.tonemask = DeviceToneMask(look)
 
-    def __call__(self, frames):
-        """frames: (..., n) f32 PCM -> (mdct, logmdct, noise_mask)."""
+    def __call__(self, frames, wid=None):
+        """frames: (..., n) f32 PCM -> (mdct, logmdct, noise_mask).
+        wid: optional per-frame window-shape id (lW*2+nW) for the
+        long-block switching path."""
         n, n2 = self.n, self.n2
-        w = frames * self.window
+        if wid is None:
+            w = frames * self.window
+        else:
+            w = frames * jnp.take(self.windows4, wid, axis=0)
         # butterfly beats the MXU basis matmul inside the fused step
         # (7.6k x-rt vs 7.0k measured on v5e): XLA fuses todB/masking
         # into the elementwise butterfly stages but not into the
@@ -227,14 +243,17 @@ class DeviceAnalysis:
                  + self.noiseoffset)
         return md, logmdct, noise
 
-    def full_mask(self, frames):
+    def full_mask(self, frames, wid=None):
         """Complete fast-path masking chain: MDCT + FFT spectra, noise
         fit, tone seeding, and the stateless _vp_offset_and_mix core
         (offset_select=1 path without the M3/M4 history terms).
         Returns (mdct, logmdct, final_mask)."""
-        md, logmdct, noise = self(frames)
+        md, logmdct, noise = self(frames, wid)
         n = self.n
-        w = frames * self.window
+        if wid is None:
+            w = frames * self.window
+        else:
+            w = frames * jnp.take(self.windows4, wid, axis=0)
         # tone analysis spectrum (reference uses drft; the fast path
         # takes |rfft|^2 which matches the same power values)
         sp = jnp.fft.rfft(w, axis=-1)[..., :self.n2]
@@ -433,3 +452,86 @@ class DeviceSynthesis:
         lapped = first.at[..., 1:, :].add(second[..., :-1, :])
         shape = lapped.shape[:-2] + (lapped.shape[-2] * (n // 2),)
         return lapped.reshape(shape)
+
+
+class DeviceEnvelope:
+    """Batched transient detector for the fast encoder's block
+    switching (reference: lib/envelope.c _ve_envelope_search/_ve_amp).
+
+    Per 64-sample step: a sin^2-windowed 128-point MDCT per channel,
+    12 weighted bands through pre/post-echo threshold triggers.  The
+    reference's `stretch` hysteresis is a serial per-step feedback
+    (impulses shrink the pre-window and raise the trigger penalty for
+    the following steps); a feedback scan would serialize 8k tiny
+    steps per chunk on the TPU, so the fast path runs at the FIXED
+    steady-state stretch (VE_MAXSTRETCH) and its penalty.  That makes
+    the detector slightly more trigger-happy right after an impulse —
+    extra short blocks on borderline frames, never a missed transient.
+    The golden encoder keeps the exact serial detector."""
+
+    def __init__(self, gi, ch):
+        from .envelope import (BAND_BEGIN, BAND_END, VE_BANDS,
+                               VE_MAXSTRETCH, VE_NEARDC)
+        import math as _m
+        self.ch = ch
+        n = 128
+        i = np.arange(n)
+        t = np.sin(i / (n - 1.0) * _m.pi).astype(np.float32)
+        self.mdct_win = jnp.asarray((t * t).astype(np.float32))
+        # band matrix (32 sp bins -> 12 bands, weights * 1/total)
+        Bm = np.zeros((32, VE_BANDS), np.float32)
+        for j in range(VE_BANDS):
+            bn = BAND_END[j]
+            wv = np.sin((np.arange(bn) + 0.5) / bn * _m.pi)
+            Bm[BAND_BEGIN[j]:BAND_BEGIN[j] + bn, j] = \
+                (wv / wv.sum()).astype(np.float32)
+        self.Bm = jnp.asarray(Bm)
+        self.minV = f32(gi["preecho_minenergy"])
+        self.stretch = VE_MAXSTRETCH
+        pen = max(0.0, float(gi["stretch_penalty"])
+                  - (VE_MAXSTRETCH - 2))
+        self.pre_thr = jnp.asarray(
+            np.asarray(gi["preecho_thresh"], np.float32) + f32(pen))
+        self.post_thr = jnp.asarray(
+            np.asarray(gi["postecho_thresh"], np.float32) - f32(pen))
+        self.neardc = VE_NEARDC
+
+    def marks(self, x):
+        """x: (ch, S) f32 PCM (S multiple of 64) -> (S//64 - 1,) bool
+        mark flags, one per 64-sample search window."""
+        ch, S = x.shape
+        x64 = x.reshape(ch, S // 64, 64)
+        frames = jnp.concatenate([x64[:, :-1], x64[:, 1:]], -1)
+        vec = mdct_forward(frames * self.mdct_win, 128, xp=jnp)
+        temp = (vec[..., 0] * vec[..., 0]
+                + f32(0.7) * vec[..., 1] * vec[..., 1]
+                + f32(0.2) * vec[..., 2] * vec[..., 2])
+        cs = jnp.cumsum(temp, axis=-1)
+        w = self.neardc + 1
+        win = cs - jnp.concatenate(
+            [jnp.zeros((ch, w)), cs[:, :-w]], -1)
+        decay = todB(win * f32(1.0 / w), xp=jnp) * f32(0.5) - f32(15.0)
+        pairs = (vec[..., 0::2] * vec[..., 0::2]
+                 + vec[..., 1::2] * vec[..., 1::2])[..., :32]
+        kk = jnp.arange(32, dtype=jnp.float32)
+        d = decay[..., None] - f32(8.0) * kk
+        sp = jnp.maximum(jnp.maximum(
+            todB(pairs, xp=jnp) * f32(0.5), d), self.minV)
+        acc = jnp.einsum("csk,kb->csb", sp, self.Bm)   # (ch, steps, 12)
+        prev = jnp.concatenate(
+            [jnp.full_like(acc[:, :1], -99999.0), acc[:, :-1]], 1)
+        postmax = jnp.maximum(acc, prev)
+        postmin = jnp.minimum(acc, prev)
+        premax = jnp.full_like(acc, -99999.0)
+        premin = jnp.full_like(acc, 99999.0)
+        for s in range(2, 2 + self.stretch):
+            sh = jnp.concatenate(
+                [jnp.full_like(acc[:, :s], -99999.0), acc[:, :-s]], 1)
+            premax = jnp.maximum(premax, sh)
+            premin = jnp.minimum(premin, jnp.where(
+                sh <= -99998.0, 99999.0, sh))
+        trig1 = ((postmax - premax) > self.pre_thr).any(-1).any(0)
+        trig2 = ((postmin - premin) < self.post_thr).any(-1).any(0)
+        t1p = jnp.concatenate([jnp.zeros(1, bool), trig1[:-1]])
+        t2n = jnp.concatenate([trig2[1:], jnp.zeros(1, bool)])
+        return trig1 | t1p | trig2 | t2n

@@ -1,85 +1,170 @@
 """vorbisfile-equivalent streaming/seek layer (reference:
 lib/vorbisfile.c).
 
-`OggVorbisFile` mirrors the `ov_*` API over the in-repo decoder:
-chained/multiplexed stream discovery (_bisect_forward_serialno,
-vorbisfile.c:474), per-link info/comment, pcm/time totals, streaming
-float and int16 reads (ov_read_float vorbisfile.c:2271 / ov_read 2252),
-raw/pcm/time seeking with packet-accurate positioning (ov_pcm_seek
-vorbisfile.c:1680), and crosslap splicing (ov_crosslap 2413).
+`OggVorbisFile` mirrors the `ov_*` API over the in-repo decoder, with
+the reference's INCREMENTAL architecture: the source is a seekable
+byte stream accessed through page-capture primitives (no whole-buffer
+slurp), chained-stream discovery runs as serialno bisection over byte
+offsets (_bisect_forward_serialno, vorbisfile.c:474), and pcm seeking
+is interpolated granulepos bisection over byte offsets
+(ov_pcm_seek_page, vorbisfile.c:1409).  Memory stays bounded by the
+page size during streaming reads regardless of stream length.
 
-Differences from the reference by design:
-- the source is a bytes buffer or seekable file object, so "bisection
-  over the callback" becomes direct page-index bisection;
-- halfrate decode is real half-size IMDCT like the reference
-  (synthesis.c:166, block.c >>hs lapping); positions and totals remain
-  in full-rate units, reads return half as many samples.
+API map (reference file:line):
+  ov_open_callbacks 998 -> OggVorbisFile(file_or_bytes_or_path)
+  ov_read/ov_read_float 2252/2271 -> read / read_float
+  ov_pcm_seek/_page 1680/1409 -> pcm_seek / pcm_seek_page
+  ov_raw_seek 1238 -> raw_seek;  ov_time_seek 1780 -> time_seek
+  ov_bitrate 1105 / ov_bitrate_instant 1152 -> bitrate / bitrate_instant
+  ov_crosslap 2413 -> crosslap;  ov_halfrate 1030 -> halfrate
+
+Error taxonomy (reference include/vorbis/codec.h:221-235): hard
+failures raise typed OVError subclasses; recoverable stream damage is
+OV_HOLE semantics — the decoder resynchronizes, `hole_count` ticks up,
+and only the codec's own validation errors are swallowed (anything
+else propagates as a real bug).
 """
 
 from __future__ import annotations
 
+import io
 from dataclasses import dataclass, field
 
 import numpy as np
 
-from .bitstream.oggfile import OggStreamReader, parse_page
+from .bitstream.oggfile import parse_page
 from .codec import headers as H
+from .codec.codebook import BadHeaderError
+from .bitstream.bitpack import EndOfPacket
 from .codec.decoder import Decoder, NotAudioPacket
 
 
 class OVError(Exception):
-    pass
+    """Base of the OV_* error taxonomy."""
+
+
+class OVNotVorbisError(OVError):
+    """OV_ENOTVORBIS: no recognizable Vorbis stream."""
+
+
+class OVBadHeaderError(OVError):
+    """OV_EBADHEADER: malformed header packets."""
+
+
+class OVInvalidError(OVError):
+    """OV_EINVAL: invalid argument/state (bad seek target etc.)."""
+
+
+# codec-level exceptions that mean "damaged packet" (OV_HOLE /
+# OV_EBADPACKET semantics: resync, don't crash); everything else is a
+# genuine bug and propagates
+_HOLE_ERRORS = (NotAudioPacket, EndOfPacket, BadHeaderError,
+                ValueError, KeyError)
+
+_MAX_PAGE = 65307 + 282          # max Ogg page + header slack
+
+
+class _Source:
+    """Seekable byte source with page-capture primitives (the role of
+    the reference's ov_callbacks + ogg_sync layer)."""
+
+    CHUNK = 65536
+
+    def __init__(self, src):
+        if isinstance(src, (bytes, bytearray, memoryview)):
+            self.f = io.BytesIO(bytes(src))
+        elif hasattr(src, "read") and hasattr(src, "seek"):
+            self.f = src
+        elif isinstance(src, str):
+            self.f = open(src, "rb")
+        else:
+            raise OVInvalidError("unsupported source type")
+        self.f.seek(0, 2)
+        self.size = self.f.tell()
+
+    def read_at(self, off: int, n: int) -> bytes:
+        if off >= self.size or n <= 0:
+            return b""
+        self.f.seek(off)
+        return self.f.read(n)
+
+    def capture_at(self, off: int, end: int | None = None):
+        """Scan forward from byte `off` for the next valid page.
+        Returns (page, page_off, next_off) or None.  `end` bounds the
+        page START offset."""
+        end = self.size if end is None else min(end, self.size)
+        while off < end:
+            win = self.read_at(off, self.CHUNK)
+            idx = win.find(b"OggS")
+            if idx < 0:
+                if len(win) < self.CHUNK:
+                    return None
+                off += self.CHUNK - 3
+                continue
+            poff = off + idx
+            if poff >= end:
+                return None
+            # ensure the whole page is in the parse window
+            win2 = self.read_at(poff, _MAX_PAGE)
+            try:
+                res = parse_page(win2, 0)
+            except ValueError:
+                off = poff + 1
+                continue
+            if res is None:          # truncated at EOF
+                off = poff + 1
+                continue
+            page, consumed = res
+            return page, poff, poff + consumed
+        return None
+
+    def prev_page(self, before: int, begin: int = 0, serialno=None):
+        """Last valid page starting before byte `before` (optionally
+        restricted to serialno).  Returns (page, page_off, next_off)
+        or None.  Mirrors the reference's _get_prev_page backward
+        chunk scan."""
+        hi = before
+        step = self.CHUNK
+        while hi > begin:
+            lo = max(begin, hi - step)
+            best = None
+            off = lo
+            while True:
+                cap = self.capture_at(off, end=hi)
+                if cap is None:
+                    break
+                page, poff, noff = cap
+                if serialno is None or page.serialno == serialno:
+                    best = (page, poff, noff)
+                off = noff
+                if off >= hi:
+                    break
+            if best is not None:
+                return best
+            hi = lo
+            step = min(step * 2, 1 << 20)
+        return None
 
 
 @dataclass
 class _Link:
     serialno: int
-    pages: list                  # OggPage list, physical order
     vi: H.VorbisInfo = None
     vendor: str = ""
     comments: list = field(default_factory=list)
+    begin: int = 0               # byte offset of the link's first page
+    audio_begin: int = 0         # byte offset of the first audio page
+    end: int = 0                 # byte offset past the link's last page
     pcm_start: int = 0           # absolute pcm offset of link start
     pcm_total: int = 0
-
-
-def _packets_of_pages(pages, start_page=0):
-    """Yield (packet, granulepos_or_None, eos, page_idx) from a page
-    list, resuming cleanly mid-stream (continued packets at the start
-    are dropped, like ogg_stream resync)."""
-    partial = bytearray()
-    have_partial = False
-    for pidx in range(start_page, len(pages)):
-        page = pages[pidx]
-        segs = page.segments
-        i = 0
-        if page.continued and not have_partial:
-            while i < len(segs) and len(segs[i]) == 255:
-                i += 1
-            if i < len(segs):
-                i += 1
-            partial = bytearray()
-        cur = partial
-        n_complete = sum(1 for s in segs[i:] if len(s) < 255)
-        emitted = 0
-        for j in range(i, len(segs)):
-            cur += segs[j]
-            if len(segs[j]) < 255:
-                emitted += 1
-                last = emitted == n_complete
-                yield (bytes(cur), page.granulepos if last else None,
-                       page.eos and last, pidx)
-                cur = bytearray()
-        partial = cur
-        have_partial = len(partial) > 0 or (
-            len(segs) > 0 and len(segs[-1]) == 255)
+    serials: tuple = ()          # all serialnos in the BOS group
 
 
 def _parse_comment(packet: bytes):
-    """Minimal comment header parse -> (vendor, [comments])."""
     from .bitstream.bitpack import BitReader
     br = BitReader(packet)
     if br.read(8) != 3 or bytes(br.readbytes(6)) != b"vorbis":
-        raise OVError("not a comment header")
+        raise OVBadHeaderError("not a comment header")
     vlen = br.read(32)
     vendor = bytes(br.readbytes(vlen)).decode("utf-8", "replace")
     n = br.read(32)
@@ -92,107 +177,183 @@ def _parse_comment(packet: bytes):
 
 
 class OggVorbisFile:
-    """Pull-based decoder over a whole Ogg byte stream (ov_open +
-    ov_read* + ov_*_seek family)."""
+    """Pull-based decoder over an Ogg source (ov_open + ov_read* +
+    ov_*_seek family).  Accepts bytes, a seekable binary file object,
+    or a path."""
 
     def __init__(self, src):
-        if hasattr(src, "read"):
-            data = src.read()
-        elif isinstance(src, (bytes, bytearray, memoryview)):
-            data = bytes(src)
-        else:
-            with open(src, "rb") as f:
-                data = f.read()
-        self.data = data
+        self._src = _Source(src)
         self.links: list[_Link] = []
-        self._scan_chain()
+        self.hole_count = 0
+        self._discover_links()
         if not self.links:
-            raise OVError("no Vorbis stream found (OV_ENOTVORBIS)")
+            raise OVNotVorbisError("no Vorbis stream found")
         self._cur_link = 0
         self._decoder = None
         self._pkt_iter = None
         self._pcm_offset = 0      # absolute (cross-link) next sample
         self._pending = None      # (ch, k) decoded not yet returned
+        self._inst_bits = 0       # ov_bitrate_instant accounting
+        self._inst_samples = 0
         self._open_link(0)
 
     # ---- chain discovery (reference: _bisect_forward_serialno) -------
-    def _scan_chain(self):
-        buf = self.data
-        off = 0
-        n = len(buf)
-        pages = []
-        while off < n:
-            idx = buf.find(b"OggS", off)
-            if idx < 0:
+    def _read_link_headers(self, begin: int):
+        """Parse one link's BOS group + Vorbis headers starting at
+        byte `begin`.  Returns a _Link (end fields unset) or None."""
+        src = self._src
+        # scan forward to the next BOS page (begin may sit inside the
+        # previous link's final page after an inexact boundary)
+        off = begin
+        while True:
+            cap = src.capture_at(off)
+            if cap is None:
+                return None
+            if cap[0].bos:
                 break
-            try:
-                res = parse_page(buf, idx)
-            except ValueError:
-                off = idx + 1
-                continue
-            if res is None:
-                off = idx + 1
-                continue
-            page, off = res
-            pages.append(page)
-        # split into chain segments at BOS boundaries; within a segment,
-        # pick the serialno whose first packet is a Vorbis id header
-        # (grouped/multiplexed streams carry several BOS pages)
-        seg_start = 0
-        i = 0
-        links = []
-        while i < len(pages):
-            # collect the BOS group
-            serials = []
-            while i < len(pages) and pages[i].bos:
-                serials.append(pages[i].serialno)
-                i += 1
-            if not serials:
-                i += 1
-                continue
-            # advance to the next BOS group (next chain link)
-            j = i
-            while j < len(pages) and not pages[j].bos:
-                j += 1
-            seg_pages = pages[seg_start:j]
-            link = self._identify_vorbis(seg_pages, serials)
-            if link is not None:
-                links.append(link)
-            seg_start = j
-            i = j
-        self.links = links
-        # totals per link from the last granulepos in the link
-        acc = 0
-        for lk in self.links:
-            last_gp = 0
-            first_gp = None
-            audio_pages = [p for p in lk.pages
-                           if p.granulepos is not None
-                           and p.granulepos >= 0]
-            for p in audio_pages:
-                last_gp = p.granulepos
-            lk.pcm_start = acc
-            lk.pcm_total = last_gp
-            acc += lk.pcm_total
-
-    def _identify_vorbis(self, seg_pages, serials):
+            off = cap[2]
+        serials = []
+        first_off = cap[1]
+        off = first_off
+        # collect the BOS group
+        while True:
+            cap = src.capture_at(off)
+            if cap is None or not cap[0].bos:
+                break
+            serials.append(cap[0].serialno)
+            off = cap[2]
+        if not serials:
+            return None
+        # find the Vorbis stream among the group
         for sn in serials:
-            sp = [p for p in seg_pages if p.serialno == sn]
             try:
                 pkts = []
-                for pk, _, _, _ in _packets_of_pages(sp):
+                audio_begin = None
+                for pk, _, _, _, noff in self._raw_packets(
+                        first_off, sn, limit_packets=3):
                     pkts.append(pk)
+                    audio_begin = noff
                     if len(pkts) == 3:
                         break
                 if len(pkts) < 3:
                     continue
                 vi = H.parse_headers(pkts)
                 vendor, comments = _parse_comment(pkts[1])
-                return _Link(serialno=sn, pages=sp, vi=vi, vendor=vendor,
-                             comments=comments)
-            except Exception:
+                return _Link(serialno=sn, vi=vi, vendor=vendor,
+                             comments=comments, begin=first_off,
+                             audio_begin=audio_begin,
+                             serials=tuple(serials))
+            except (OVError, *_HOLE_ERRORS):
                 continue
         return None
+
+    def _discover_links(self):
+        src = self._src
+        begin = 0
+        while begin < src.size:
+            link = self._read_link_headers(begin)
+            if link is None:
+                break
+            # does this link run to EOF?
+            last = src.prev_page(src.size, begin=link.begin)
+            if last is not None and last[0].serialno in link.serials:
+                link.end = src.size
+            else:
+                # serialno bisection for the link boundary
+                # (vorbisfile.c:474 _bisect_forward_serialno).  lo is
+                # always the END offset of a PROVEN page of this link;
+                # a capture from any mid above the link's true last
+                # page either hits the next link or nothing, shrinking
+                # hi, until lo converges to the last page's end.
+                lo, hi = link.audio_begin, src.size
+                while hi - lo > 1:
+                    mid = (lo + hi) // 2
+                    cap = src.capture_at(mid)
+                    if (cap is not None
+                            and cap[0].serialno in link.serials
+                            and not cap[0].bos):
+                        lo = cap[2]
+                    else:
+                        hi = mid
+                cap = src.capture_at(lo)
+                link.end = cap[1] if cap is not None else src.size
+            # pcm_total from the last granulepos-bearing page of the
+            # Vorbis serial
+            lastv = src.prev_page(link.end, begin=link.begin,
+                                  serialno=link.serialno)
+            gp = 0
+            while lastv is not None:
+                g = lastv[0].granulepos
+                if g is not None and g >= 0:
+                    gp = g
+                    break
+                lastv = src.prev_page(lastv[1], begin=link.begin,
+                                      serialno=link.serialno)
+            link.pcm_total = int(gp)
+            self.links.append(link)
+            begin = link.end
+        acc = 0
+        for lk in self.links:
+            lk.pcm_start = acc
+            acc += lk.pcm_total
+
+    # ---- packet extraction ------------------------------------------
+    def _raw_packets(self, from_off: int, serialno: int,
+                     end: int | None = None, limit_packets=None):
+        """Yield (packet, granulepos_or_None, eos, page_off, next_off)
+        assembling packets page by page from byte offsets.  Resyncs
+        across damaged pages (hole accounting by the caller)."""
+        src = self._src
+        partial = bytearray()
+        have_partial = False
+        lastpageno = None
+        off = from_off
+        count = 0
+        while True:
+            cap = src.capture_at(off, end=end)
+            if cap is None:
+                return
+            page, poff, off = cap
+            if page.serialno != serialno:
+                continue
+            segs = page.segments
+            i = 0
+            if lastpageno is not None and page.pageno != lastpageno + 1:
+                # page gap: OV_HOLE — drop any partial packet
+                self.hole_count += 1
+                partial = bytearray()
+                have_partial = False
+            lastpageno = page.pageno
+            if page.continued and not have_partial:
+                while i < len(segs) and len(segs[i]) == 255:
+                    i += 1
+                if i < len(segs):
+                    i += 1
+                partial = bytearray()
+            cur = partial
+            n_complete = sum(1 for s in segs[i:] if len(s) < 255)
+            emitted = 0
+            for j in range(i, len(segs)):
+                cur += segs[j]
+                if len(segs[j]) < 255:
+                    emitted += 1
+                    last = emitted == n_complete
+                    yield (bytes(cur),
+                           page.granulepos if last else None,
+                           page.eos and last, poff, off)
+                    count += 1
+                    if limit_packets and count >= limit_packets:
+                        return
+                    cur = bytearray()
+            partial = cur
+            have_partial = len(partial) > 0 or (
+                len(segs) > 0 and len(segs[-1]) == 255)
+
+    def _link_packets(self, link: _Link, from_off=None):
+        start = link.audio_begin if from_off is None else from_off
+        for pk, gp, eos, poff, noff in self._raw_packets(
+                start, link.serialno, end=link.end):
+            yield pk, gp, eos, poff
 
     # ---- ov_info / ov_comment ----------------------------------------
     def info(self, link=-1) -> H.VorbisInfo:
@@ -210,7 +371,7 @@ class OggVorbisFile:
     def seekable(self):
         return True
 
-    # ---- totals (ov_pcm_total / ov_time_total / ov_raw_total) --------
+    # ---- totals -------------------------------------------------------
     def pcm_total(self, link=-1) -> int:
         if link < 0:
             return sum(lk.pcm_total for lk in self.links)
@@ -223,19 +384,45 @@ class OggVorbisFile:
         return lk.pcm_total / lk.vi.rate
 
     def raw_total(self, link=-1) -> int:
-        return len(self.data)
+        if link < 0:
+            return self._src.size
+        lk = self.links[link]
+        return lk.end - lk.begin
+
+    # ---- bitrate (ov_bitrate / ov_bitrate_instant) -------------------
+    def bitrate(self, link=-1) -> int:
+        """Average bitrate of a link (or the whole file): compressed
+        audio bytes over duration (vorbisfile.c:1105)."""
+        if link < 0:
+            t = self.time_total()
+            if t <= 0:
+                return 0
+            raw = sum(lk.end - lk.audio_begin for lk in self.links)
+            return int(8 * raw / t)
+        lk = self.links[link]
+        if lk.pcm_total <= 0:
+            return 0
+        return int(8 * (lk.end - lk.audio_begin)
+                   / (lk.pcm_total / lk.vi.rate))
+
+    def bitrate_instant(self) -> int:
+        """Bits consumed per second of audio since the last call
+        (vorbisfile.c:1152); 0 when nothing was decoded since."""
+        if self._inst_samples <= 0:
+            return 0
+        rate = self.info().rate
+        v = int(self._inst_bits * rate / self._inst_samples)
+        self._inst_bits = 0
+        self._inst_samples = 0
+        return v
 
     # ---- decode state -------------------------------------------------
-    def _open_link(self, link):
+    def _open_link(self, link, from_off=None):
         lk = self.links[link]
         self._cur_link = link
         self._decoder = Decoder(lk.vi,
                                 halfrate=bool(getattr(self, "_hs", 0)))
-        it = _packets_of_pages(lk.pages)
-        # consume the 3 header packets
-        for _ in range(3):
-            next(it)
-        self._pkt_iter = it
+        self._pkt_iter = self._link_packets(lk, from_off)
         self._pending = None
 
     def _decode_next(self):
@@ -251,11 +438,13 @@ class OggVorbisFile:
                 return None
             try:
                 out = self._decoder.decode_packet(pk, gp, eos)
-            except NotAudioPacket:
+            except _HOLE_ERRORS as e:
+                if not isinstance(e, NotAudioPacket):
+                    self.hole_count += 1   # damaged packet: OV_HOLE
                 continue
-            except Exception:
-                continue  # hole: skip undecodable packet (OV_HOLE)
+            self._inst_bits += 8 * len(pk)
             if out is not None and out.shape[1]:
+                self._inst_samples += out.shape[1]
                 return out
 
     # ---- reads ---------------------------------------------------------
@@ -282,10 +471,8 @@ class OggVorbisFile:
     def read(self, nsamples: int, word: int = 2, signed: bool = True,
              bigendian: bool = False) -> np.ndarray:
         """ov_read (vorbisfile.c:2252): integer PCM output.  word=2 ->
-        int16 (+-32768 scale), word=1 -> 8-bit (+-128, offset 128 when
-        unsigned); conversion mirrors vorbis_ftoi round-to-nearest +
-        clamp (ov_read_filter's float->int).  Returns (ch, k) in the
-        requested dtype/byte order."""
+        int16 (+-32768 scale), word=1 -> 8-bit; conversion mirrors
+        vorbis_ftoi round-to-nearest + clamp."""
         f = self.read_float(nsamples)
         if word == 1:
             v = np.clip(np.rint(f.astype(np.float64) * 128.0),
@@ -294,7 +481,7 @@ class OggVorbisFile:
                 return v.astype(np.int8)
             return (v + 128).astype(np.uint8)
         if word != 2:
-            raise OVError("word size must be 1 or 2 (OV_EINVAL)")
+            raise OVInvalidError("word size must be 1 or 2")
         v = np.clip(np.rint(f.astype(np.float64) * 32768.0),
                     -32768, 32767)
         if not signed:
@@ -305,19 +492,15 @@ class OggVorbisFile:
         return v.astype(dt)
 
     def read_all_float(self) -> np.ndarray:
-        """Decode everything from the current position.  When standing
-        at the start of a link with no halfrate, the batched path
-        amortizes the IMDCT across all packets (parse bits per packet,
-        one vectorized transform per blocksize group, then the lapping
-        walk)."""
+        """Decode everything from the current position.  At a link
+        start (no halfrate) the batched drain amortizes the whole
+        pipeline across all packets of each link."""
         if self._pcm_offset is None:
-            # a prior page-level seek left the position unresolved;
-            # resolve it and drain sequentially from here (the batched
-            # path would silently restart the link from sample 0)
             self._establish_position()
-        if (self._pcm_offset == 0 and self._cur_link == 0
-                and self._pending is None
-                and not getattr(self, "_hs", 0)):
+        at_start = (self._pcm_offset
+                    == self.links[self._cur_link].pcm_start
+                    and self._pending is None)
+        if at_start and not getattr(self, "_hs", 0):
             return self._read_all_batched()
         out = []
         while True:
@@ -336,6 +519,7 @@ class OggVorbisFile:
             self._open_link(li)
             link_pkts = [(pk, gp, eos)
                          for pk, gp, eos, _ in self._pkt_iter]
+            self._inst_bits += sum(8 * len(p) for p, _, _ in link_pkts)
             # native whole-link fast drain (C packet parse + batched
             # synthesis, bit-exact); falls back to the per-packet path
             # for stream shapes it doesn't cover
@@ -352,9 +536,9 @@ class OggVorbisFile:
             for pk, gp, eos in link_pkts:
                 try:
                     spec, W = dec.parse_packet(pk)
-                except NotAudioPacket:
-                    continue
-                except Exception:
+                except _HOLE_ERRORS as e:
+                    if not isinstance(e, NotAudioPacket):
+                        self.hole_count += 1
                     continue
                 parsed.append([spec, W, gp, eos])
             # batch the IMDCT per blocksize group
@@ -376,7 +560,9 @@ class OggVorbisFile:
         if not out:
             return np.zeros((self.info().channels, 0), np.float32)
         full = np.concatenate(out, axis=1)
-        self._pcm_offset = self.pcm_total()
+        total = self.pcm_total()
+        self._inst_samples += full.shape[1]
+        self._pcm_offset = total
         self._pkt_iter = iter(())
         return full
 
@@ -388,92 +574,36 @@ class OggVorbisFile:
 
     def time_tell(self) -> float:
         lk = self.links[self._cur_link]
-        rel = self._pcm_offset - lk.pcm_start
+        rel = self.pcm_tell() - lk.pcm_start
         t = sum(l.pcm_total / l.vi.rate
                 for l in self.links[:self._cur_link])
         return t + rel / lk.vi.rate
 
     # ---- seeking --------------------------------------------------------
     def raw_seek(self, byte_off: int):
-        """ov_raw_seek: position at the page spanning byte_off and
-        resynchronize; pcm position derives from the next page's
-        granulepos."""
-        # find the link & page index by byte offset via page rescan
-        target_link, target_page = 0, 0
-        count = 0
-        pos = 0
+        """ov_raw_seek: position at the page at/after byte_off inside
+        its link and resynchronize; pcm position derives lazily from
+        the next granulepos."""
+        if not 0 <= byte_off <= self._src.size:
+            raise OVInvalidError("raw_seek out of range")
+        link = 0
         for li, lk in enumerate(self.links):
-            for pi, page in enumerate(lk.pages):
-                blen = len(page.to_bytes())
-                if pos + blen > byte_off:
-                    target_link, target_page = li, pi
-                    break
-                pos += blen
-            else:
-                continue
-            break
-        lk = self.links[target_link]
-        self._seek_to_page(target_link,
-                           max(target_page, self._first_audio_page(lk)))
+            if byte_off < lk.end or li == len(self.links) - 1:
+                link = li
+                break
+        lk = self.links[link]
+        off = max(byte_off, lk.audio_begin)
+        self._seek_to_offset(link, off)
 
-    @staticmethod
-    def _first_audio_page(lk: _Link) -> int:
-        """Index of the first page carrying audio: the page where the
-        3rd header packet completes if audio segments follow it there,
-        else the next page (reference ov_raw_seek restarts cleanly at
-        the stream head rather than assuming a fixed header layout)."""
-        done = 0
-        for pidx, page in enumerate(lk.pages):
-            for si, seg in enumerate(page.segments):
-                if len(seg) < 255:
-                    done += 1
-                    if done == 3:
-                        more = si + 1 < len(page.segments)
-                        return pidx if more else pidx + 1
-        return len(lk.pages)
-
-    def _page_of_pcm(self, lk: _Link, pos: int) -> int:
-        """Bisection over the link's pages by granulepos (reference:
-        ov_pcm_seek_page interpolated bisection)."""
-        pages = lk.pages
-        lo, hi = 0, len(pages) - 1
-        best = 0
-        while lo <= hi:
-            mid = (lo + hi) // 2
-            gp = pages[mid].granulepos
-            if gp is None or gp < 0:
-                # skip non-audio page: scan forward for a granulepos
-                k = mid
-                while k <= hi and (pages[k].granulepos is None
-                                   or pages[k].granulepos < 0):
-                    k += 1
-                if k > hi:
-                    hi = mid - 1
-                    continue
-                mid, gp = k, pages[k].granulepos
-            if gp < pos:
-                best = mid
-                lo = mid + 1
-            else:
-                hi = mid - 1
-        return best
-
-    def _seek_to_page(self, link: int, page_idx: int):
+    def _seek_to_offset(self, link: int, byte_off: int):
         self._cur_link = link
         lk = self.links[link]
         self._decoder = Decoder(lk.vi,
                                 halfrate=bool(getattr(self, "_hs", 0)))
-        it = _packets_of_pages(lk.pages)
-        for _ in range(3):
-            next(it)
-        if page_idx > 0:
-            it = _packets_of_pages(lk.pages, page_idx)
-        self._pkt_iter = it
+        self._pkt_iter = self._link_packets(lk, byte_off)
         self._pending = None
-        # The exact pcm position after a mid-stream resync is unknown
-        # until the next page-end granulepos arrives (reference:
-        # ov_pcm_seek_page re-derives position from the first decoded
-        # granulepos); _establish_position() resolves it lazily.
+        # position resolves lazily from the next page granulepos
+        # (reference re-derives it after any raw sync)
         self._pcm_offset = None
 
     def _establish_position(self):
@@ -491,18 +621,17 @@ class OggVorbisFile:
                 return
             chunks.append(c)
             total += c.shape[1] << getattr(self, "_hs", 0)
-        # one more guard: granulepos may have become known with PCM
-        # still pending in `chunks`
         frontier = lk.pcm_start + self._decoder.granulepos
         self._pcm_offset = frontier - total
         if chunks:
             self._pending = np.concatenate(chunks, axis=1)
 
     def pcm_seek_page(self, pos: int):
-        """ov_pcm_seek_page: land on the page boundary at or before
-        pos (absolute sample position across links)."""
+        """ov_pcm_seek_page: byte-offset bisection by granulepos,
+        landing on the page boundary at or before pos (absolute
+        sample position across links)."""
         if not 0 <= pos <= self.pcm_total():
-            raise OVError("seek out of range (OV_EINVAL)")
+            raise OVInvalidError("seek out of range")
         link = 0
         for li, lk in enumerate(self.links):
             if pos < lk.pcm_start + lk.pcm_total or li == len(
@@ -511,15 +640,39 @@ class OggVorbisFile:
                 break
         lk = self.links[link]
         rel = pos - lk.pcm_start
-        pidx = self._page_of_pcm(lk, rel)
-        self._seek_to_page(link, pidx)
+        src = self._src
+        lo, hi = lk.audio_begin, lk.end
+        best = lk.audio_begin
+        # bisection over byte offsets: find the last page whose
+        # granulepos < rel (vorbisfile.c:1409-1679)
+        while hi - lo > _Source.CHUNK // 16:
+            mid = (lo + hi) // 2
+            cap = src.capture_at(mid, end=hi)
+            # find a granulepos-bearing page of our serial from mid
+            gp = None
+            while cap is not None:
+                page, poff, noff = cap
+                if (page.serialno == lk.serialno
+                        and page.granulepos is not None
+                        and page.granulepos >= 0):
+                    gp = page.granulepos
+                    break
+                cap = src.capture_at(noff, end=hi)
+            if cap is None:
+                hi = mid
+                continue
+            if gp < rel:
+                best = max(best, cap[1])
+                lo = cap[2]
+            else:
+                hi = cap[1]
+        self._seek_to_offset(link, best)
 
     def pcm_seek(self, pos: int):
         """ov_pcm_seek: page seek then packet-accurate skip forward
         (reference: vorbisfile.c:1680)."""
         self.pcm_seek_page(pos)
         self._establish_position()
-        # decode & discard until the absolute position reaches pos
         while self._pcm_offset < pos:
             if self._pending is not None and self._pending.shape[1]:
                 chunk, self._pending = self._pending, None
@@ -550,11 +703,10 @@ class OggVorbisFile:
     def crosslap(self, other: "OggVorbisFile"):
         """ov_crosslap: window-splice this stream's lap tail into the
         start of `other` (both must share channel count).  Mirrors the
-        reference's use of vorbis_synthesis_lapout: the tail half-window
-        of self is added into other's first window-half samples."""
+        reference's use of vorbis_synthesis_lapout."""
         vi1, vi2 = self.info(), other.info()
         if vi1.channels != vi2.channels:
-            raise OVError("channel mismatch (OV_EINVAL)")
+            raise OVInvalidError("channel mismatch")
         tail = self._decoder.lapout() if self._decoder is not None else None
         if tail is None or tail.shape[1] == 0:
             return
@@ -568,13 +720,11 @@ class OggVorbisFile:
 
     def halfrate(self, flag: bool):
         """ov_halfrate (vorbisfile.c:1030): decode at half the sample
-        rate via half-size IMDCT/windows.  pcm positions/totals remain
-        in FULL-rate units (like the reference); reads simply return
-        half as many samples per block."""
+        rate via half-size IMDCT/windows; pcm positions/totals remain
+        in FULL-rate units, and the playback position is preserved
+        across the decoder reinit."""
         if flag and min(lk.vi.blocksizes[0] for lk in self.links) <= 64:
-            raise OVError("blocksize too small for halfrate (OV_EINVAL)")
-        # reference ov_halfrate preserves the playback position across
-        # the decoder reinit (vorbisfile.c:1030)
+            raise OVInvalidError("blocksize too small for halfrate")
         pos = self.pcm_tell()
         self._hs = 1 if flag else 0
         self._open_link(self._cur_link)
