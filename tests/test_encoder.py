@@ -220,3 +220,30 @@ def test_our_decoder_roundtrip():
     # lossy codec: compare energy envelope, not samples
     err = np.sqrt(np.mean((full - pcm) ** 2))
     assert err < 0.05, f"roundtrip rms error too high: {err}"
+
+
+def test_bit_usage_accounting():
+    """glue/floor/res bit counters (reference codec.h:112-115) must
+    agree exactly between our encoder and our decoder on the same
+    stream."""
+    from vorbis_tpu.codec.decoder import Decoder
+    from vorbis_tpu.codec import headers as H
+    from vorbis_tpu.codec.encoder import Encoder
+    from vorbis_tpu.models import encsetup
+    pcm = oracle.make_test_signal(seconds=0.3)
+    setup = encsetup.setup_vbr(2, 44100, 0.4)
+    enc = Encoder(setup)
+    enc.write(pcm)
+    enc.end_of_stream()
+    pkts = enc.pump()
+    st = enc.bit_stats
+    assert st["packets"] == len(pkts)
+    assert st["res_bits"] > st["floor_bits"] > 0
+    total = st["glue_bits"] + st["floor_bits"] + st["res_bits"]
+    assert total <= st["packet_bits"]
+    h = enc.header_packets()
+    dec = Decoder(H.parse_headers(list(h)))
+    for p in pkts:
+        dec.decode_packet(p.data, p.granulepos, p.eos)
+    for k in ("packets", "glue_bits", "floor_bits", "res_bits"):
+        assert dec.bit_stats[k] == st[k], k

@@ -126,3 +126,22 @@ def test_fast_silence(fe):
     out = OggVorbisFile(ogg).read_all_float()
     assert out.shape == pcm.shape
     assert np.abs(out).max() < 1e-3
+
+
+def test_fast_coupled_stream_size_near_golden(tmp_path, fe):
+    """Coupled stereo (the default): point-stereo fold + lossless
+    mag/ang + res2 interleaved VQ must price the stream like the
+    golden encoder (within ~10-15%), and decode clean everywhere."""
+    from vorbis_tpu.codec.encoder import encode_vbr_stream
+    assert fe.res_type == 2          # coupling on by default
+    pcm = oracle.make_test_signal(seconds=1.0)
+    out = fe.encode(pcm, switching=False)
+    g = encode_vbr_stream(pcm, 44100, 0.5)
+    ratio = len(out) / len(g)
+    assert 0.75 <= ratio <= 1.15, (len(out), len(g))
+    pf = str(tmp_path / "cp.ogg")
+    with open(pf, "wb") as f:
+        f.write(out)
+    got, rate = oracle.decode_float(pf)
+    assert rate == 44100 and got.shape == pcm.shape
+    assert np.isfinite(got).all()

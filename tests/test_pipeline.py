@@ -174,3 +174,55 @@ def test_graft_entry_contracts():
     assert pk.ndim == 2 and pk.dtype == np.uint8
     assert nb.shape == (pk.shape[0],) and (nb > 0).all()
     g.dryrun_multichip(8)
+
+
+def test_fastpath_ampmax_drift_bounded(pipe):
+    """The fast path drops _vp_ampmax_decay cross-frame state
+    (jaxdsp full_mask uses the local frame max as the global cap);
+    on quiet-after-loud content the tone mask may drift vs the exact
+    stateful path.  Quantify and bound that drift (psy.c:4504)."""
+    import jax
+    from vorbis_tpu.ops import psy as PSY2
+    from vorbis_tpu.utils.scales import todB
+
+    rate = 44100
+    n = pipe.n
+    rng = np.random.RandomState(0)
+    # loud tonal frame followed by quiet frames
+    t = np.arange(n)
+    loud = (0.8 * np.sin(2 * np.pi * 0.021 * t)).astype(np.float32)
+    quiet = (0.002 * np.sin(2 * np.pi * 0.021 * t)
+             + 1e-4 * rng.randn(n)).astype(np.float32)
+    frames = np.stack([loud] + [quiet] * 6)
+    md, logmdct, mask_fast = map(np.asarray,
+                                 jax.jit(pipe.analysis.full_mask)(frames))
+
+    # exact stateful chain: ampmax decays from the loud frame
+    look = pipe.analysis.look
+    from vorbis_tpu.ops.window import hybrid_window
+    w = frames * hybrid_window(pipe.setup.vi.blocksizes[0], n, 1, 1, 1)
+    sp = np.fft.rfft(w, axis=-1)[..., :n // 2]
+    power = (sp.real ** 2 + sp.imag ** 2).astype(np.float32)
+    scale = np.float32(4.0 / n)
+    logfft = (todB(power * (scale * scale)) * np.float32(0.5)
+              + np.float32(0.69))
+    ampmax = -9999.0
+    drift = []
+    for k in range(len(frames)):
+        ampmax = float(PSY2.ampmax_decay(
+            np.float32(ampmax), rate, n // 2,
+            np.float32(pipe.setup.psy_global["ampmax_att_per_sec"])))
+        local = float(min(logfft[k].max(), 0.0))
+        ampmax = max(ampmax, local)
+        exact_tone = PSY2.tonemask(look, logfft[k], ampmax, local)
+        fast_tone = np.asarray(jax.jit(pipe.analysis.tonemask)(
+            logfft[k:k + 1],
+            np.asarray([local], np.float32),
+            np.asarray([local], np.float32)))[0]
+        d = np.abs(fast_tone - exact_tone)
+        drift.append(float(np.mean(d)))
+    # the first quiet frame after the loud one carries the largest
+    # statefulness gap; it must stay bounded (masks are in dB)
+    assert max(drift[1:3]) < 12.0, drift
+    # and the steady state (several frames later) converges tightly
+    assert drift[-1] < 3.0, drift

@@ -255,3 +255,37 @@ def test_hole_counting_on_corrupt_page(stream):
         out.append(c)
     assert vf.hole_count >= 1
     assert np.isfinite(np.concatenate(out, 1)).all()
+
+
+def test_crosslap_matches_reference(tmp_path, stream):
+    """ov_crosslap golden: our splice must match libvorbisfile's
+    ov_crosslap output (same short-window w^2 crossfade into the first
+    short-half of the second stream)."""
+    pcm1, ogg1 = stream
+    pcm2 = oracle.make_test_signal(seconds=0.5, seed=7)
+    ogg2 = encode_vbr_stream(pcm2, 44100, 0.4, serialno=321)
+    p1 = str(tmp_path / "a.ogg")
+    p2 = str(tmp_path / "b.ogg")
+    with open(p1, "wb") as f:
+        f.write(ogg1)
+    with open(p2, "wb") as f:
+        f.write(ogg2)
+    want = oracle.crosslap_float(p1, p2, nread=1 << 14)
+
+    vf1 = OggVorbisFile(ogg1)
+    vf1.read_all_float()
+    vf2 = OggVorbisFile(ogg2)
+    vf1.crosslap(vf2)
+    got = []
+    total = 0
+    while total < want.shape[1]:
+        c = vf2.read_float(want.shape[1] - total)
+        if c.shape[1] == 0:
+            break
+        got.append(c)
+        total += c.shape[1]
+    got = np.concatenate(got, axis=1)
+    k = min(got.shape[1], want.shape[1])
+    # the underlying decoders differ from the stock lib by ~1 ulp; the
+    # splice math itself must match to float noise
+    assert np.abs(got[:, :k] - want[:, :k]).max() < 1e-4

@@ -83,3 +83,66 @@ def test_lattice_build_tune_roundtrip():
     r = BitReader(w.getvalue())
     got = [book.decode(r) for _ in entries]
     assert np.array_equal(got, entries)
+
+
+def test_training_loop_closure(tmp_path):
+    """Close the encode->dump->retrain loop (reference TRAIN_RES/
+    TRAIN_RESAUX hooks + vq/huffbuild + vq/metrics): capture training
+    streams from our own encoder, regenerate a phrasebook Huffman
+    length list from the dump, and verify the regenerated book (a)
+    forms a valid canonical tree, (b) codes the captured stream at
+    least as well as within 15% of the shipped book's cost."""
+    import numpy as np
+    from tests import oracle
+    from vorbis_tpu.codec.encoder import Encoder
+    from vorbis_tpu.models import encsetup
+    from vorbis_tpu.vq import training as T
+    from vorbis_tpu.vq.huffbuild import lengths_to_bits, \
+        occupancy_from_entries
+    from vorbis_tpu.codec.codebook import make_codewords
+
+    pcm = oracle.make_test_signal(seconds=1.0, kind="mix")
+    setup = encsetup.setup_vbr(2, 44100, 0.4)
+    enc = Encoder(setup)
+    T.TRAINER = T.TrainingCollector()
+    try:
+        enc.write(pcm)
+        enc.end_of_stream()
+        enc.pump()
+    finally:
+        col, T.TRAINER = T.TRAINER, None
+    assert col.resaux and col.res and col.floor
+
+    # .vqd dump round (the reference's file interchange)
+    files = col.dump_vqd(str(tmp_path / "train"))
+    assert files and all(len(open(f).read()) > 0 for f in files)
+
+    # regenerate the phrasebook lengths from our own stream
+    gkey, syms = max(col.resaux.items(), key=lambda kv: len(kv[1]))
+    res_idx = int(gkey[1:])
+    shipped = setup.vi.books[res_idx]
+    lengths = T.regenerate_huff_lengths(syms, shipped.entries)
+    assert make_codewords(lengths) is not None      # valid tree
+    hist = occupancy_from_entries(np.asarray(syms, np.int64),
+                                  shipped.entries, guard=0)
+    cost_new = lengths_to_bits(lengths, hist)
+    cost_shipped = int((np.asarray(shipped.lengths)[
+        np.asarray(syms, np.int64)]).sum())
+    assert cost_new <= 1.15 * cost_shipped, (cost_new, cost_shipped)
+
+    # the rebuilt book is usable for encode (codewords present for
+    # every symbol we emitted)
+    nb = T.rebuild_book(shipped, lengths)
+    assert all(nb.lengths[s] > 0 for s in set(syms))
+
+    # metrics/distribution equivalents run over a residue book's dump
+    rkey, vecs = max(col.res.items(), key=lambda kv: len(kv[1]))
+    cls, st = (int(x[1:]) for x in rkey.split("_")[1:])
+    from vorbis_tpu.codec.residue_codec import ResidueLook
+    look = ResidueLook(setup.vi.residues[0], setup.vi.books)
+    book = look.partbooks[cls][st]
+    m = T.metrics(book, np.stack(vecs[:500]))
+    assert m["count"] > 0 and np.isfinite(m["mse"])
+    assert m["used_cells"] > 0
+    d = T.distribution(np.stack(vecs[:500]))
+    assert d["count"] > 0 and d["hist"].sum() == d["count"]

@@ -17,7 +17,14 @@ Layout:
   data/       transcribed static tables (codebooks, mode templates) as .npz
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+
+def version_string() -> str:
+    """Library version banner (reference: vorbis_version_string,
+    info.c:734; the vendor string identifies aoTuV compatibility like
+    info.c:35-43)."""
+    return f"vorbis_tpu {__version__} (aoTuV b6.03-compatible, TPU-native)"
 
 
 def __getattr__(name):

@@ -150,6 +150,11 @@ class BitWriter:
             self._acc >>= 8
             self._accbits -= 8
 
+    @property
+    def bitpos(self) -> int:
+        """Bits written so far (the reference's oggpack_bits)."""
+        return len(self._bytes) * 8 + self._accbits
+
     def write_bytes(self, data: bytes) -> None:
         for b in data:
             self.write(b, 8)

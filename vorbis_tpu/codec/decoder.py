@@ -75,6 +75,10 @@ class Decoder:
         self.pcm_current = 0
         self.granulepos = -1
         self.sample_count = -1
+        # bit-usage accounting (reference vorbis_block
+        # glue/floor/res_bits, codec.h:112-115)
+        self.bit_stats = {"packets": 0, "glue_bits": 0,
+                          "floor_bits": 0, "res_bits": 0}
 
     # ---- packet-level synthesis ----------------------------------------
     def synthesize(self, packet: bytes):
@@ -106,6 +110,7 @@ class Decoder:
         n = self.bs[W]
         mapping = vi.maps[minfo.mapping]
         spec = np.zeros((self.ch, n // 2), dtype=np.float32)
+        glue_end = r.pos
 
         # floors
         floor_fits = []
@@ -120,6 +125,8 @@ class Decoder:
                 fit = decode_floor1(r, look, vi.books)
             floor_fits.append(fit)
             nonzero[c] = fit is not None
+
+        floor_end = r.pos
 
         # coupling dirties nonzero
         for m, a in zip(mapping.coupling_mag, mapping.coupling_ang):
@@ -136,6 +143,12 @@ class Decoder:
                            ~nonzero[chans], n // 2,
                            vi.residue_types[res_idx])
             spec[chans] = bundle
+
+        st = self.bit_stats
+        st["packets"] += 1
+        st["glue_bits"] += glue_end
+        st["floor_bits"] += floor_end - glue_end
+        st["res_bits"] += r.pos - floor_end
 
         # inverse coupling (reverse order)
         for m, a in zip(reversed(mapping.coupling_mag),

@@ -54,6 +54,9 @@ class EncodedPacket:
 
 class Encoder:
     def __init__(self, setup: EncoderSetup):
+        self.bit_stats = {"packets": 0, "glue_bits": 0,
+                          "floor_bits": 0, "res_bits": 0,
+                          "packet_bits": 0}
         self.s = setup
         vi = setup.vi
         self.vi = vi
@@ -420,6 +423,7 @@ class Encoder:
         writers = {}
         rng_ = (range(PACKETBLOBS) if self.managed
                 else [PACKETBLOBS // 2])
+        bitsplits = {}
         for k in rng_:
             w = BitWriter()
             w.write(0, 1)
@@ -427,6 +431,7 @@ class Encoder:
             if W:
                 w.write(lW, 1)
                 w.write(nW, 1)
+            glue_end = w.bitpos
 
             nonzero = [0] * ch
             iwork = []
@@ -439,6 +444,7 @@ class Encoder:
                     else floor_posts[i][k].copy(), n2)
                 nonzero[i] = nz
                 iwork.append(ilogmask)
+            floor_end = w.bitpos
 
             # nepeak is shared and progressively mutated across the
             # 15 blobs (reference keeps one buffer per channel)
@@ -460,6 +466,7 @@ class Encoder:
                 if partword is not None:
                     res_forward(w, look, bundle, nzb, rtype, partword)
             writers[k] = w
+            bitsplits[k] = (glue_end, floor_end, w.bitpos)
 
             # aoTuV frame-to-frame state updates live INSIDE the blob
             # loop in the reference (mapping0.c tail) — they run once
@@ -476,13 +483,31 @@ class Encoder:
                 self.lW_no = 1
             self.lW_block_mode = block_mode
 
+        self._last_bitsplits = bitsplits
         return writers, granulepos, eos, W
+
+    def _account_bits(self, choice, nbytes):
+        """Bit-usage accounting per emitted packet (reference
+        vorbis_block.glue_bits/floor_bits/res_bits, codec.h:112-115,
+        summed like block.c:928-931)."""
+        sp = getattr(self, "_last_bitsplits", {}).get(choice)
+        if sp is None:
+            return
+        glue_end, floor_end, res_end = sp
+        st = self.bit_stats
+        st["packets"] += 1
+        st["glue_bits"] += glue_end
+        st["floor_bits"] += floor_end - glue_end
+        st["res_bits"] += res_end - floor_end
+        st["packet_bits"] += nbytes * 8
 
     # ------------------------------------------------------------------
     def _bitrate_choose(self, writers, W):
         """vorbis_bitrate_addblock: pick the blob, truncate/pad."""
         if not self.managed:
-            return writers[PACKETBLOBS // 2].getvalue()
+            data = writers[PACKETBLOBS // 2].getvalue()
+            self._account_bits(PACKETBLOBS // 2, len(data))
+            return data
         hi = self.s.hi
         sizes = {k: len(w.getvalue()) for k, w in writers.items()}
         choice = int(np.rint(self.avgfloat))
@@ -532,6 +557,7 @@ class Encoder:
             if len(data) > maxsize:
                 data = data[:int(maxsize)]
             this_bits = len(data) * 8
+            self._account_bits(0, len(data))
         else:
             minsize = (min_tb - self.minmax_reservoir + 7) // 8
             if choice >= PACKETBLOBS:
@@ -541,6 +567,7 @@ class Encoder:
             if pad > 0:
                 data = data + b"\x00" * pad
             this_bits = len(data) * 8
+            self._account_bits(choice, len(data))
         # reservoir updates
         if self.min_bitsper > 0 or self.max_bitsper > 0:
             if max_tb > 0 and this_bits > max_tb:

@@ -483,6 +483,11 @@ def floor1_encode(w, look: Floor1Look, books, sbooks, post, n2) -> np.ndarray:
                         break
                 cval |= bookas[k] << cshift
                 cshift += csubbits
+            from ..vq import training as _T
+            if _T.TRAINER is not None:
+                # TRAIN_FLOOR1: class-word symbol stream
+                # (floor1.c:904-938 dump hook)
+                _T.TRAINER.add_floor(f"fc{cls}", cval)
             books[info.class_book[cls]].encode(w, cval)
         for k in range(cdim):
             book = info.class_subbook[cls][bookas[k]]

@@ -250,9 +250,16 @@ def local_book_besterror(book, a, off):
     return index
 
 
-def encodepart(w, vec, off, n, book):
+def encodepart(w, vec, off, n, book, train_key=None):
+    from ..vq import training as _T
     step = n // book.dim
     for i in range(step):
+        if _T.TRAINER is not None and train_key is not None:
+            # TRAIN_RES: pre-quantization residual sub-vector
+            # (res0.c:380-405 dump hook)
+            _T.TRAINER.add_res(train_key,
+                               vec[off + i * book.dim:
+                                   off + (i + 1) * book.dim])
         entry = local_book_besterror(book, vec, off + i * book.dim)
         book.encode(w, entry)
 
@@ -342,6 +349,11 @@ def res01_forward(w, look: ResidueLook, in_ch, ch, partword,
                         if i + k < partvals:
                             val += int(partword[j][i + k])
                     if val < look.phrasebook.entries:
+                        from ..vq import training as _T
+                        if _T.TRAINER is not None:
+                            # TRAIN_RESAUX: phrase-word symbol stream
+                            _T.TRAINER.add_resaux(
+                                f"g{info.groupbook}", val)
                         look.phrasebook.encode(w, val)
             k = 0
             while k < ppw and i < partvals:
@@ -363,7 +375,9 @@ def res01_forward(w, look: ResidueLook, in_ch, ch, partword,
                                         book.encode(w, int(e))
                             else:
                                 encodepart(w, in_ch[j], offset, spp,
-                                           book)
+                                           book,
+                                           f"g{info.groupbook}"
+                                           f"_c{cls}_s{s}")
                 k += 1
                 i += 1
 

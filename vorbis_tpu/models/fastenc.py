@@ -11,9 +11,13 @@ order and its M3/M4 cross-frame state for throughput, and codes every
 frame as a long block.  For byte-identical output use
 codec.encoder.Encoder (the golden path).
 
-Coupling is disabled (encode_ctl COUPLING_SET 0) so channels quantize
-independently — the uncoupled residue layout is what the per-channel
-device VQ produces."""
+Stereo inputs couple by default like every reference quality mode:
+per-bin lossless flags (stereo point thresholds), the integer mag/ang
+lossless transform, the min_indemnity_dipole_hypot point fold, and
+res2 interleaved VQ all run on device; coupling=False selects the
+uncoupled per-channel layout (encode_ctl COUPLING_SET 0).  An
+envelope pass drives 256/2048 block switching by default
+(switching=False forces long-only)."""
 
 from __future__ import annotations
 
@@ -72,17 +76,55 @@ class _ShortCtx:
         res_idx = mapping.residuesubmap[mapping.chmuxlist[0]]
         self.res_look = fe.enc.residue_looks[res_idx]
         self.res_type = vi.residue_types[res_idx]
-        assert self.res_type in (0, 1)
+        assert self.res_type in (0, 1, 2)
         self.dvq = DeviceResidueVQ(self.res_look.info,
                                    self.res_look.books,
                                    self.res_look.partbooks)
+        if self.res_type == 2:
+            self.couple = _couple_params(fe.setup, 0, 0, self.n // 2)
+
+
+def _couple_params(setup, blocktype, blockflag, n2):
+    """Static stereo-coupling constants for the fast path (reference:
+    _vp_couple_quantize_normalize's threshold setup, blob 7 of the
+    unmanaged middle)."""
+    from ..ops.psy import _tables
+    t = _tables()
+    g = setup.psy_global
+    pv = setup.psy_params[blocktype]
+    blob = 7
+    st = t["stereo_threshholds"]
+    stX = t["stereo_threshholds_X"]
+    prepoint = np.float32(st[g["coupling_prepointamp"][blob]])
+    postpoint = np.float32(st[g["coupling_postpointamp"][blob]])
+    limit = int(g["coupling_pointlimit"][blockflag][blob])
+    partition = int(pv["normal_partition"]) if pv["normal_p"] else 16
+    # per-bin lossless threshold profile: prepoint below the point
+    # limit, a linear ramp across the partition containing it, then
+    # postpoint (flag_lossless's ps interpolation)
+    thr = np.full(n2, postpoint, np.float32)
+    p0 = (limit // partition) * partition
+    thr[:p0] = prepoint
+    if p0 < n2:
+        jn = min(partition, n2 - p0)
+        ps1 = np.float32((postpoint - prepoint) / np.float32(jn))
+        ramp = prepoint + ps1 * np.arange(1, jn + 1, dtype=np.float32)
+        thr[p0:p0 + jn] = ramp
+    threv = np.where(np.arange(n2) < limit,
+                     np.float32(0.18), np.float32(0.12)).astype(np.float32)
+    return dict(thr1=thr, threv=threv, limit=limit,
+                partition=partition,
+                normal_thresh=float(pv.get("normal_thresh", 9999.0)))
 
 
 class FastEncoder:
     def __init__(self, ch: int, rate: int, quality: float,
-                 switching: bool = True):
+                 switching: bool = True, coupling: bool | None = None):
         b = encsetup.setup_vbr_staged(ch, rate, quality)
-        b.ctl_coupling_set(False)
+        if coupling is None:
+            coupling = ch == 2
+        if not coupling:
+            b.ctl_coupling_set(False)
         self.setup = b.init()
         self.enc = Encoder(self.setup)   # looks, books, header packing
         self.vi = self.setup.vi
@@ -107,11 +149,14 @@ class FastEncoder:
         res_idx = self.mapping.residuesubmap[self.mapping.chmuxlist[0]]
         self.res_look = self.enc.residue_looks[res_idx]
         self.res_type = vi.residue_types[res_idx]
-        assert self.res_type in (0, 1), \
-            "fast path expects an uncoupled residue"
+        assert self.res_type in (0, 1, 2)
         self.dvq = DeviceResidueVQ(self.res_look.info,
                                    self.res_look.books,
                                    self.res_look.partbooks)
+        if self.res_type == 2:
+            assert ch == 2 and self.mapping.coupling_steps == 1, \
+                "fast coupled path covers single-step stereo"
+            self.couple = _couple_params(self.setup, 3, 1, n2)
         self._step = jax.jit(self._device_step)
         # fixed device batch (frames) — one compiled shape for any
         # input length; ~24s of stereo per chunk at n=2048
@@ -449,14 +494,21 @@ class FastEncoder:
             xd = jnp.pad(xd, ((0, 0), (0, (E + 1) * 64 - S)))
             S = (E + 1) * 64
         marks = np.zeros(nsteps, bool)
+        # dispatch every chunk first, fetch after — the blocking
+        # device->host roundtrip costs ~20ms through the tunnel, so
+        # serial dispatch+fetch per chunk would dominate the pass
+        plan = []
         s = 0
         while s < nsteps:
             s0 = min(max(0, s - H), max(0, S // 64 - (E + 1)))
-            m = np.asarray(self._env(xd, s0 * 64))
             lo = s - s0
             take = min(E - lo, nsteps - s)
-            marks[s:s + take] = m[lo:lo + take]
+            d = self._env(xd, s0 * 64)
+            d.copy_to_host_async()
+            plan.append((s, lo, take, d))
             s += take
+        for s, lo, take, d in plan:
+            marks[s:s + take] = np.asarray(d)[lo:lo + take]
         return marks
 
     def _schedule(self, marks, ns):
@@ -749,7 +801,9 @@ class FastEncoder:
     def encode_hostpack(self, pcm, serialno=778, comments=None) -> bytes:
         """Round-1 fast encode (device decisions, host bit-field
         construction).  Kept as the equivalence oracle for the fully
-        on-device path and as a fallback."""
+        on-device path and as a fallback.  Uncoupled layouts only."""
+        assert self.res_type in (0, 1), \
+            "host-pack path covers uncoupled residues only"
         ch, ns = pcm.shape
         assert ch == self.ch
         frames = self._frame(pcm)              # (ch, F, n)

@@ -240,6 +240,10 @@ class DeviceFastEncode:
         self.ctx = fe.ctx(W) if hasattr(fe, "ctx") else fe
         self.W = W
         self.ch = fe.ch
+        # residue-domain channel count: res2 codes ONE interleaved
+        # vector over the coupled bundle
+        self.res_type = getattr(self.ctx, "res_type", 1)
+        self.res_ch = 1 if self.res_type == 2 else fe.ch
         self.n = self.ctx.n
         self.hop = self.n // 2
         self.chunk_packets = chunk_packets
@@ -405,10 +409,10 @@ class DeviceFastEncode:
             ncols = 0
             for c0 in range(self.nchunks):
                 if s == 0:
-                    maxbits.extend([ph_maxlen] * self.ch)
-                    ncols += self.ch
+                    maxbits.extend([ph_maxlen] * self.res_ch)
+                    ncols += self.res_ch
                 for _ in range(self.ppw):
-                    for _ in range(self.ch):
+                    for _ in range(self.res_ch):
                         maxbits.extend(pos_ml.tolist())
                         ncols += ms
             self.res_ncols.append(ncols)
@@ -631,7 +635,7 @@ class DeviceFastEncode:
         (F, ch, partvals, max_steps), used (F, ch) -> (vals, lens)
         (F, RC) in res01_forward emission order."""
         F = pw.shape[0]
-        ch = self.ch
+        ch = self.res_ch
         ppw = self.ppw
         nck = self.nchunks
         vals_blocks = []
@@ -701,6 +705,92 @@ class DeviceFastEncode:
         return (jnp.concatenate(vals_blocks, 1),
                 jnp.concatenate(lens_blocks, 1))
 
+
+    # -- channel coupling (res2 / coupled stereo) ---------------------------
+    def _classify2(self, absM, absA):
+        """res2 classification (_2class, res0.c:473): per interleaved
+        partition, magnitude-channel max and angle-channel max walk
+        the classmetric thresholds.  absM/absA: (F, n2) abs ints."""
+        ri = self.ri
+        spp = self.spp
+        per = spp // 2
+        b0 = ri.begin // 2
+        need = b0 + self.partvals * per
+        def seg(x):
+            if need > x.shape[-1]:
+                x = jnp.concatenate(
+                    [x, jnp.zeros(x.shape[:-1] + (need - x.shape[-1],),
+                                  x.dtype)], -1)
+            return x[..., b0:need].reshape(
+                x.shape[:-1] + (self.partvals, per))
+        magmax = seg(absM).max(-1)
+        angmax = seg(absA).max(-1)
+        cm1 = np.asarray(self.ri.classmetric1, np.int64)
+        cm2 = np.asarray(self.ri.classmetric2, np.int64)
+        k = jnp.full(magmax.shape, self.possible - 1, jnp.int32)
+        for kk in range(self.possible - 2, -1, -1):
+            ok = (magmax <= int(cm1[kk])) & (angmax <= int(cm2[kk]))
+            k = jnp.where(ok, kk, k)
+        return k
+
+    def _couple_quantize(self, md, curve, used, F):
+        """Stereo channel coupling + quantization (reference:
+        _vp_couple_quantize_normalize, psy.c:4858-5142), stateless fast
+        path: per-bin lossless flags from the stereo point thresholds,
+        integer mag/ang lossless transform, min_indemnity_dipole_hypot
+        point fold with energy requantization.  Skips the M6/M9
+        cross-frame history and (at rungs where normal_thresh disables
+        it anyway) the noise-normalize promotion.  md/curve: (F*2, n2);
+        returns integer-valued (F, 2, n2) float32 residues."""
+        cp = self.ctx.couple
+        n2 = md.shape[-1]
+        mdc = md.reshape(F, 2, n2)
+        us = used.reshape(F, 2)
+        cur = curve.reshape(F, 2, n2)
+        cur = jnp.where(us[..., None], cur, f32(1e-10))
+        res = jnp.where(us[..., None], mdc / cur, f32(0.0))
+        thr1 = jnp.asarray(cp["thr1"][:n2])
+        r = jnp.abs(res)
+        lossless = (r[:, 0] >= thr1) | (r[:, 1] >= thr1)
+        qi = jnp.rint(res)
+        qiM, qiA = qi[:, 0], qi[:, 1]
+        # integer lossless mag/ang (psy.c lossless_coupling)
+        c1 = jnp.abs(qiM) > jnp.abs(qiA)
+        mag = jnp.where(c1, qiM, qiA)
+        ang = jnp.where(c1,
+                        jnp.where(qiM > 0, qiM - qiA, qiA - qiM),
+                        jnp.where(qiA > 0, qiM - qiA, qiA - qiM))
+        flip = ang >= jnp.abs(mag) * 2
+        mag = jnp.where(flip, -mag, mag)
+        ang = jnp.where(flip, -ang, ang)
+        # point-stereo fold on the signed energy domain
+        thnor = f32(0.94)
+        mm = jnp.where(us[:, 0, None], mdc[:, 0], f32(0.0))
+        ma = jnp.where(us[:, 1, None], mdc[:, 1], f32(0.0))
+        rawM = jnp.where(mm < 0, -(mm * mm), mm * mm)
+        rawA = jnp.where(ma < 0, -(ma * ma), ma * ma)
+        threv = jnp.asarray(cp["threv"][:n2])
+        a2 = jnp.abs(rawM * thnor)
+        b2 = jnp.abs(rawA * thnor)
+        hyp = jnp.where(
+            rawM > 0,
+            jnp.where(rawA > 0, a2 + b2,
+                      jnp.where(mm > -ma, a2 - b2 * threv,
+                                -(b2 - a2 * threv))),
+            jnp.where(rawA < 0, -(a2 + b2),
+                      jnp.where(-mm > ma, -(a2 - b2 * threv),
+                                b2 - a2 * threv)))
+        floorsum = cur[:, 0] * cur[:, 0] + cur[:, 1] * cur[:, 1]
+        ve = jnp.abs(hyp) / floorsum
+        mag_pt = jnp.rint(jnp.sqrt(ve))
+        mag_pt = jnp.where(hyp < 0, -mag_pt, mag_pt)
+        outM = jnp.where(lossless, mag, mag_pt)
+        outA = jnp.where(lossless, ang, f32(0.0))
+        any_used = us[:, 0] | us[:, 1]
+        outM = jnp.where(any_used[:, None], outM, f32(0.0))
+        outA = jnp.where(any_used[:, None], outA, f32(0.0))
+        return jnp.stack([outM, outA], 1), any_used
+
     # -- the full step -------------------------------------------------------
     def encode_flat(self, flat, F, wb, wid=None):
         """The post-framing encode body: flat (F*ch, n) raw PCM frames
@@ -716,10 +806,20 @@ class DeviceFastEncode:
         posts, used = ctx.floor(logmdct, mask)
         codes, qposts = self._floor_wrap(posts, used)
         curve = ctx.floor.render(qposts, ctx.fromdB)
-        res = jnp.rint(md / curve)
-        res = jnp.where(used[:, None], res, 0.0)
-        pw = self._classify(res)
-        entries = self._vq_stages(res, pw)
+        if self.res_type == 2:
+            out2, any_used = self._couple_quantize(md, curve, used, F)
+            # interleave the coupled pair: flat[i] = out2[:, i%2, i//2]
+            inter = out2.transpose(0, 2, 1).reshape(F, -1)
+            pw = self._classify2(jnp.abs(out2[:, 0]),
+                                 jnp.abs(out2[:, 1]))
+            entries = self._vq_stages(inter, pw)
+            used_r = any_used
+        else:
+            res = jnp.rint(md / curve)
+            res = jnp.where(used[:, None], res, 0.0)
+            pw = self._classify(res)
+            entries = self._vq_stages(res, pw)
+            used_r = None
         fv, fl = self._floor_fields(codes, used)
         # header columns
         # header: packet-type bit, mode, and (long blocks only) the
@@ -742,10 +842,14 @@ class DeviceFastEncode:
                      np.int32))[None, :].repeat(F, 0)
         fv = fv.reshape(F, ch, -1).reshape(F, -1)
         fl = fl.reshape(F, ch, -1).reshape(F, -1)
-        pw_p = pw.reshape(F, ch, -1)
-        ent_p = [e.reshape(F, ch, self.partvals, -1)
+        rc = self.res_ch
+        pw_p = pw.reshape(F, rc, -1)
+        ent_p = [e.reshape(F, rc, self.partvals, -1)
                  for e in entries]
-        used_p = used.reshape(F, ch)
+        if used_r is None:
+            used_p = used.reshape(F, ch)
+        else:
+            used_p = used_r.reshape(F, 1)
         rv, rl = self._residue_fields(pw_p, ent_p, used_p)
         vals = jnp.concatenate([hdr_v, _u32(fv), rv], 1)
         lens = jnp.concatenate([hdr_l, fl, rl], 1)

@@ -502,7 +502,9 @@ class DeviceEnvelope:
         ch, S = x.shape
         x64 = x.reshape(ch, S // 64, 64)
         frames = jnp.concatenate([x64[:, :-1], x64[:, 1:]], -1)
-        vec = mdct_forward(frames * self.mdct_win, 128, xp=jnp)
+        # 128-pt MDCT as one MXU matmul — the butterfly lowering's
+        # per-stage gathers dominate at this tiny n with a huge batch
+        vec = mdct_matmul(frames * self.mdct_win, 128)
         temp = (vec[..., 0] * vec[..., 0]
                 + f32(0.7) * vec[..., 1] * vec[..., 1]
                 + f32(0.2) * vec[..., 2] * vec[..., 2])

@@ -528,6 +528,16 @@ class OggVorbisFile:
                                              FastDecoder)
                 fd = FastDecoder(self.links[li].vi)
                 out.append(fd.decode_packets(link_pkts))
+                # prime the scalar decoder's lap state with the final
+                # packets so lapout()/crosslap see the true stream-end
+                # buffer (the lap depends only on the last blocks)
+                for pk, gp, eos in link_pkts[-3:]:
+                    try:
+                        blk, Wb = self._decoder.synthesize(pk)
+                        self._decoder.blockin(blk, Wb, gp, eos)
+                    except _HOLE_ERRORS:
+                        pass
+                self._decoder.pcm_returned = self._decoder.pcm_current
                 continue
             except FastDecodeUnsupported:
                 pass
@@ -701,22 +711,46 @@ class OggVorbisFile:
 
     # ---- crosslap -------------------------------------------------------
     def crosslap(self, other: "OggVorbisFile"):
-        """ov_crosslap: window-splice this stream's lap tail into the
-        start of `other` (both must share channel count).  Mirrors the
-        reference's use of vorbis_synthesis_lapout."""
+        """ov_crosslap (vorbisfile.c:2413): window-splice this
+        stream's lap tail into the start of `other`.  Reference
+        semantics: n = min short-blocksize half of the two streams,
+        the SHORT window of the smaller stream provides the crossfade
+        (wd = w[i]^2; out = head*wd + tail*(1-wd)), and the splice
+        lands on the first n not-yet-returned samples of `other`."""
+        from .codec.decoder import window_half
         vi1, vi2 = self.info(), other.info()
         if vi1.channels != vi2.channels:
             raise OVInvalidError("channel mismatch")
+        hs1 = getattr(self, "_hs", 0)
+        hs2 = getattr(other, "_hs", 0)
+        n1 = vi1.blocksizes[0] >> (1 + hs1)
+        n2 = vi2.blocksizes[0] >> (1 + hs2)
+        n = min(n1, n2)
+        w = (window_half(vi1.blocksizes[0] >> hs1) if n1 <= n2
+             else window_half(vi2.blocksizes[0] >> hs2))[:n]
         tail = self._decoder.lapout() if self._decoder is not None else None
-        if tail is None or tail.shape[1] == 0:
+        if tail is None:
             return
-        head = other.read_float(tail.shape[1])
-        from .ops.window import hybrid_window
-        n = 2 * tail.shape[1]
-        w = hybrid_window(n, n, 1, 1, 1)[:n // 2]
-        spliced = tail * w[::-1] + head * w[: head.shape[1]]
-        other._pending = spliced.astype(np.float32)
-        other._pcm_offset -= head.shape[1]
+        lap = np.zeros((vi1.channels, n), np.float32)
+        k = min(n, tail.shape[1])
+        lap[:, :k] = tail[:, :k]
+        # gather exactly n head samples from `other`
+        heads = []
+        got = 0
+        while got < n:
+            c = other.read_float(n - got)
+            if c.shape[1] == 0:
+                break
+            heads.append(c)
+            got += c.shape[1]
+        head = (np.concatenate(heads, axis=1) if heads
+                else np.zeros((vi2.channels, 0), np.float32))
+        m = head.shape[1]
+        wd = (w[:m] * w[:m]).astype(np.float32)
+        spliced = (head * wd + lap[:, :m]
+                   * (np.float32(1.0) - wd)).astype(np.float32)
+        other._pending = spliced
+        other._pcm_offset -= m << hs2
 
     def halfrate(self, flag: bool):
         """ov_halfrate (vorbisfile.c:1030): decode at half the sample
