@@ -80,6 +80,12 @@ class _ShortCtx:
         self.dvq = DeviceResidueVQ(self.res_look.info,
                                    self.res_look.books,
                                    self.res_look.partbooks)
+        pv = fe.setup.psy_params[0]
+        self.normal = dict(
+            partition=int(pv["normal_partition"]) if pv["normal_p"]
+            else 16,
+            start=int(pv["normal_start"]),
+            thresh=float(pv.get("normal_thresh", 9999.0)))
         if self.res_type == 2:
             self.couple = _couple_params(fe.setup, 0, 0, self.n // 2)
 
@@ -153,6 +159,12 @@ class FastEncoder:
         self.dvq = DeviceResidueVQ(self.res_look.info,
                                    self.res_look.books,
                                    self.res_look.partbooks)
+        pv = self.setup.psy_params[3]
+        self.normal = dict(
+            partition=int(pv["normal_partition"]) if pv["normal_p"]
+            else 16,
+            start=int(pv["normal_start"]),
+            thresh=float(pv.get("normal_thresh", 9999.0)))
         if self.res_type == 2:
             assert ch == 2 and self.mapping.coupling_steps == 1, \
                 "fast coupled path covers single-step stereo"

@@ -787,9 +787,53 @@ class DeviceFastEncode:
         outM = jnp.where(lossless, mag, mag_pt)
         outA = jnp.where(lossless, ang, f32(0.0))
         any_used = us[:, 0] | us[:, 1]
+        nm = getattr(self.ctx, "normal", None)
+        if nm is not None and nm["thresh"] < 9000.0:
+            bins = np.arange(n2)
+            inreg = jnp.asarray((bins >= nm["start"])
+                                & (bins >= cp["limit"]))
+            cand = (~lossless) & (ve < f32(0.25)) & inreg \
+                & any_used[:, None]
+            outM = self._normalize_promote(outM, ve, jnp.abs(hyp),
+                                           cand, hyp)
         outM = jnp.where(any_used[:, None], outM, f32(0.0))
         outA = jnp.where(any_used[:, None], outA, f32(0.0))
         return jnp.stack([outM, outA], 1), any_used
+
+
+    def _normalize_promote(self, out, ve, qe, cand, sgn):
+        """noise_normalize's energy-budget promotion (psy.c:4732-4854),
+        batched per partition: candidate bins (sub-unity energy) sort
+        by raw energy descending; while the accumulated energy budget
+        exceeds normal_thresh, the next-largest candidate becomes +-1
+        (one unit of energy each); the rest stay 0.  Inert at rungs
+        where normal_thresh disables it."""
+        nm = self.ctx.normal
+        thresh = f32(nm["thresh"])
+        part = nm["partition"]
+        F, n2 = out.shape
+        npad = (-n2) % part
+        if npad:
+            pad = lambda a, v: jnp.concatenate(
+                [a, jnp.full((F, npad), v, a.dtype)], -1)
+            out2, ve2 = pad(out, 0), pad(ve, 0.0)
+            qe2, c2 = pad(qe, 0.0), pad(cand, False)
+            s2 = pad(sgn, 0.0)
+        else:
+            out2, ve2, qe2, c2, s2 = out, ve, qe, cand, sgn
+        np_ = out2.shape[-1] // part
+        vp = jnp.where(c2, ve2, 0.0).reshape(F, np_, part)
+        acc = vp.sum(-1)
+        npro = jnp.where(acc >= thresh,
+                         jnp.floor(acc - thresh).astype(jnp.int32) + 1,
+                         0)
+        key = jnp.where(c2, qe2, -jnp.inf).reshape(F, np_, part)
+        order = jnp.argsort(-key, axis=-1)
+        rank = jnp.argsort(order, axis=-1)
+        sel = (rank < npro[..., None]) & c2.reshape(F, np_, part)
+        sel = sel.reshape(F, -1)[:, :n2]
+        unit = jnp.where(s2[:, :n2] < 0, f32(-1.0), f32(1.0))
+        return jnp.where(sel, unit, out)
 
     # -- the full step -------------------------------------------------------
     def encode_flat(self, flat, F, wb, wid=None):
@@ -815,8 +859,18 @@ class DeviceFastEncode:
             entries = self._vq_stages(inter, pw)
             used_r = any_used
         else:
-            res = jnp.rint(md / curve)
+            rr = md / curve
+            res = jnp.rint(rr)
             res = jnp.where(used[:, None], res, 0.0)
+            nm = getattr(self.ctx, "normal", None)
+            if nm is not None and nm["thresh"] < 9000.0:
+                # per-channel noise_normalize promotion (active rungs)
+                ve = rr * rr
+                bins = np.arange(md.shape[-1])
+                inreg = jnp.asarray(bins >= nm["start"])
+                cand = (ve < f32(0.25)) & inreg & used[:, None]
+                res = self._normalize_promote(res, ve, jnp.abs(md * md),
+                                              cand, rr)
             pw = self._classify(res)
             entries = self._vq_stages(res, pw)
             used_r = None
