@@ -305,8 +305,10 @@ class DeviceFloorFit:
                             i, lon)
             return fitA, fitB, lon, hin, memo
 
+        # unroll: each traced iteration carries ~60 small ops whose
+        # fixed launch/loop overhead dominates at (B, P) sizes
         fitA, fitB, lon, hin, memo = jax.lax.fori_loop(
-            2, P, body, (fitA, fitB, lon, hin, memo))
+            2, P, body, (fitA, fitB, lon, hin, memo), unroll=4)
 
         # final output walk (floor1.c:735-750) with STATIC decode-side
         # neighbors; sequential in i but only over (B,) lanes
@@ -332,7 +334,7 @@ class DeviceFloorFit:
             keep = (vx >= 0) & (pred != vx)
             return out.at[:, i].set(jnp.where(keep, vx, pred | 0x8000))
 
-        out = jax.lax.fori_loop(2, P, walk, out)
+        out = jax.lax.fori_loop(2, P, walk, out, unroll=4)
         return out, used
 
 
@@ -384,7 +386,7 @@ class DeviceFloorFit:
                 jnp.where(unflag, out[:, hn0] & 0x7FFF, out[:, hn0]))
             return out
 
-        return jax.lax.fori_loop(2, self.posts, body, out)
+        return jax.lax.fori_loop(2, self.posts, body, out, unroll=4)
 
     def render(self, qposts, fromdB_table):
         """Quantized posts (B, P) -> gain curve (B, n) float32, the
