@@ -145,3 +145,19 @@ def test_fast_coupled_stream_size_near_golden(tmp_path, fe):
     got, rate = oracle.decode_float(pf)
     assert rate == 44100 and got.shape == pcm.shape
     assert np.isfinite(got).all()
+
+
+def test_fast_single_blocksize_template(tmp_path):
+    """8 kHz templates have ONE blocksize and a single mode (no window
+    flag bits, modebits == 0): the fast path must still produce valid
+    streams (regression: round-1 assumed a long mode exists)."""
+    pcm = oracle.make_test_signal(rate=8000, seconds=0.5, ch=1)
+    fe = FastEncoder(1, 8000, 0.3)
+    assert fe.W_main == 0 and not fe.switching
+    out = fe.encode(pcm)
+    p = str(tmp_path / "nb.ogg")
+    with open(p, "wb") as f:
+        f.write(out)
+    got, rate = oracle.decode_float(p)
+    assert rate == 8000 and got.shape == pcm.shape
+    assert np.isfinite(got).all()

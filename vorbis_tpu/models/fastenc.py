@@ -139,15 +139,25 @@ class FastEncoder:
         vi = self.vi
         self.n = vi.blocksizes[1]
         n2 = self.n // 2
-        # long-block mode + its mapping
-        self.mode_idx = next(i for i, m in enumerate(vi.modes)
-                             if m.blockflag == 1)
+        # long-block mode + its mapping; single-blocksize templates
+        # (8/11 kHz) have only short modes — use mode 0 (W=0 packets,
+        # no window-shape bits) with the padding psy params
+        try:
+            self.mode_idx = next(i for i, m in enumerate(vi.modes)
+                                 if m.blockflag == 1)
+            self.W_main = 1
+        except StopIteration:
+            self.mode_idx = 0
+            self.W_main = 0
         self.modebits = ilog(len(vi.modes) - 1)
         minfo = vi.modes[self.mode_idx]
         self.mapping = vi.maps[minfo.mapping]
         # device ops
-        self.analysis = DeviceAnalysis(self.setup, blocktype=3,
-                                       rate=rate)
+        self.blocktype = min(3 if self.W_main else 1,
+                             len(self.setup.psy_params) - 1)
+        self.analysis = DeviceAnalysis(
+            self.setup, blocktype=self.blocktype,
+            rate=rate, W=self.W_main)
         fl_idx = self.mapping.floorsubmap[self.mapping.chmuxlist[0]]
         self.fl_look = self.enc.floor_looks[fl_idx]
         self.floor = DeviceFloorFit(self.fl_look)
@@ -159,7 +169,7 @@ class FastEncoder:
         self.dvq = DeviceResidueVQ(self.res_look.info,
                                    self.res_look.books,
                                    self.res_look.partbooks)
-        pv = self.setup.psy_params[3]
+        pv = self.setup.psy_params[self.blocktype]
         self.normal = dict(
             partition=int(pv["normal_partition"]) if pv["normal_p"]
             else 16,
@@ -168,7 +178,8 @@ class FastEncoder:
         if self.res_type == 2:
             assert ch == 2 and self.mapping.coupling_steps == 1, \
                 "fast coupled path covers single-step stereo"
-            self.couple = _couple_params(self.setup, 3, 1, n2)
+            self.couple = _couple_params(
+                self.setup, self.blocktype, self.W_main, n2)
         self._step = jax.jit(self._device_step)
         # fixed device batch (frames) — one compiled shape for any
         # input length; ~24s of stereo per chunk at n=2048
@@ -191,7 +202,9 @@ class FastEncoder:
         """Per-mode component bundle; the long ctx is the encoder
         itself (analysis/floor/dvq attributes), the short ctx is
         built lazily."""
-        if W:
+        if W or self.W_main == 0:
+            # single-blocksize templates have one mode: the encoder
+            # itself is the only ctx
             return self
         if self._short_ctx is None:
             self._short_ctx = _ShortCtx(self)
@@ -201,7 +214,7 @@ class FastEncoder:
     def dev(self):
         if self._dev is None:
             from ..ops.encdevice import DeviceFastEncode
-            self._dev = DeviceFastEncode(self)
+            self._dev = DeviceFastEncode(self, W=self.W_main)
         return self._dev
 
     # -- device side ------------------------------------------------------

@@ -148,7 +148,9 @@ class PackPlan:
         acc = 0
         for i in range(C):
             mb = int(maxbits[i])
-            assert 0 < mb <= 32, mb
+            # 0-width columns are legal (e.g. modebits==0 for a
+            # single-mode template, window flags on W=0 packets)
+            assert 0 <= mb <= 32, mb
             if acc + mb > 32:
                 groups.append(cur)
                 cur = []
