@@ -957,3 +957,32 @@ long vn_imdct_batch(
     }
     return 0;
 }
+
+/* Windowed lapped overlap-add (the decode side's block.c
+ * vorbis_synthesis_blockin composition): each block multiplies its
+ * hybrid window and scatter-adds at its center-aligned offset.  Same
+ * per-sample multiply/add order as the batched numpy path ->
+ * bit-identical output. */
+long vn_lap_add(const float *blocksL, const float *blocksS,
+                int ch, int n1, int n0, long npkt,
+                const int32_t *which, const int32_t *idx,
+                const int32_t *winid, const int64_t *offs,
+                const float *wins, const int64_t *win_off,
+                float *out, long outlen)
+{
+    for (long p = 0; p < npkt; p++) {
+        int n = which[p] ? n1 : n0;
+        const float *b = which[p]
+            ? blocksL + (long)idx[p] * ch * n1
+            : blocksS + (long)idx[p] * ch * n0;
+        const float *w = wins + win_off[winid[p]];
+        long o = offs[p];
+        for (int c = 0; c < ch; c++) {
+            float *d = out + (long)c * outlen + o;
+            const float *s = b + (long)c * n;
+            for (int i = 0; i < n; i++)
+                d[i] += s[i] * w[i];
+        }
+    }
+    return 0;
+}

@@ -114,6 +114,54 @@ class FastDecoder:
             raise FastDecodeUnsupported("stream shape not native-decodable")
         self.fromdB = fromdB_lookup()
 
+
+    @staticmethod
+    def _native_lap(groups, gidx, W, lW, nW, offs, wins, out, bs0, bs1):
+        """Drive vn_lap_add (same per-sample multiply/add order as the
+        numpy fallback).  Returns False when the native lib is
+        unavailable."""
+        import ctypes as C
+
+        from ..native import _load
+        L = _load()
+        if L is None:
+            return False
+        npkt = len(W)
+        ch, outlen = out.shape
+        blocksL = groups.get(1)
+        blocksS = groups.get(0)
+        zero = np.zeros(1, np.float32)
+        keys = sorted(wins.keys())
+        wcat = np.ascontiguousarray(
+            np.concatenate([wins[k] for k in keys]).astype(np.float32))
+        woff = {}
+        acc = 0
+        for k in keys:
+            woff[k] = acc
+            acc += len(wins[k])
+        win_off = np.asarray(
+            [woff[(int(a), int(b), int(c))]
+             for a, b, c in zip(lW, W, nW)], np.int64)
+        winid = np.arange(npkt, dtype=np.int32)   # one entry per packet
+        # vn_lap_add indexes win_off by winid; give it identity ids
+        which = W.astype(np.int32)
+        offs64 = offs.astype(np.int64)
+
+        def ptr(a):
+            return C.c_void_p(a.ctypes.data if a is not None else None)
+
+        L.vn_lap_add.restype = C.c_long
+        L.vn_lap_add.argtypes = None
+        L.vn_lap_add(
+            ptr(blocksL if blocksL is not None else zero),
+            ptr(blocksS if blocksS is not None else zero),
+            C.c_int(ch), C.c_int(bs1), C.c_int(bs0), C.c_long(npkt),
+            ptr(which), ptr(np.ascontiguousarray(gidx)),
+            ptr(winid), ptr(offs64),
+            ptr(wcat), ptr(np.ascontiguousarray(win_off)),
+            ptr(out), C.c_long(outlen))
+        return True
+
     def decode_packets(self, pkts) -> np.ndarray:
         """pkts: list of (packet_bytes, granulepos_or_None, eos).
         Returns (ch, N) float32 PCM, trimmed exactly like the scalar
@@ -142,6 +190,8 @@ class FastDecoder:
         # fallback is the same transform) ----
         from ..native import imdct_batch
         pcm = [None] * npkt
+        groups = {}              # Wv -> (blocks (G, ch, n), group idx)
+        gidx = np.zeros(npkt, np.int32)
         for Wv in (0, 1):
             idx = np.where(W == Wv)[0]
             if not len(idx):
@@ -152,7 +202,9 @@ class FastDecoder:
             blocks = imdct_batch(stack, n)
             if blocks is None:
                 blocks = np.asarray(imdct(stack, n))
-            blocks = blocks.reshape(len(idx), ch, n)
+            blocks = np.ascontiguousarray(blocks.reshape(len(idx), ch, n))
+            groups[Wv] = blocks
+            gidx[idx] = np.arange(len(idx), dtype=np.int32)
             for j, k in enumerate(idx):
                 pcm[k] = blocks[j]
 
@@ -167,17 +219,18 @@ class FastDecoder:
         base = starts.min()
         total_len = int((centers[-1] + ns[-1] // 2) - base)
         out = np.zeros((ch, total_len + 8), np.float32)
-        # group by (W, lW, nW) for the window multiply, then add runs
-        # of same-size blocks vectorized
         wins = {}
         for key in {(int(a), int(b), int(c))
                     for a, b, c in zip(lW, W, nW)}:
             l, w, nx = key
             wins[key] = hybrid_window(bs0, bs1, l, w, nx)
-        for k in range(npkt):
-            key = (int(lW[k]), int(W[k]), int(nW[k]))
-            o = int(starts[k] - base)
-            out[:, o:o + int(ns[k])] += pcm[k] * wins[key]
+        lap = self._native_lap(groups, gidx, W, lW, nW, starts - base,
+                               wins, out, bs0, bs1)
+        if not lap:
+            for k in range(npkt):
+                key = (int(lW[k]), int(W[k]), int(nW[k]))
+                o = int(starts[k] - base)
+                out[:, o:o + int(ns[k])] += pcm[k] * wins[key]
 
         # ---- output range + granulepos trimming ----
         first_out = int(centers[0] - base)      # center of block 0

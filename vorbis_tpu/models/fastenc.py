@@ -243,14 +243,6 @@ class FastEncoder:
                 [e.astype(jnp.uint16) for e in entries])
 
     # -- host side: batched field construction ---------------------------
-    def _build_field_layout(self):
-        """Precompute the per-packet bit-field column layout: every
-        potential (value, nbits) slot in emission order, with static
-        metadata for the batched fill.  Called once."""
-        # nothing to precompute beyond what __init__ holds; the layout
-        # is realized inside _pack_frames
-        pass
-
     def _floor_fields(self, posts, used):
         """posts (F, P) raw fit posts, used (F,) -> (vals, lens, mask)
         (F, C) field arrays for one channel's floor, vectorized

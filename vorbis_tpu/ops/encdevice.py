@@ -114,21 +114,6 @@ def onehot_remap(entries, remap_digits, nd):
     return out.reshape(shape + (nd,))
 
 
-def fromdB_ladder(y, table):
-    """Geometric reconstruction of FLOOR1_fromdB_LOOKUP[y] for integer
-    y in [0, 255]: v = T0 * prod_j r^(2^j * bit_j(y)).  Max relative
-    error ~1.7e-7 (1-2 ulp) vs the exact table — the fast path accepts
-    that (it only scales the residue quantization); the decode path
-    keeps the exact table gather."""
-    T = np.asarray(table, np.float64)
-    r = (T[255] / T[0]) ** (1.0 / 255.0)
-    v = jnp.full(y.shape, f32(T[0]))
-    for j in range(8):
-        bit = (y >> j) & 1
-        v = v * jnp.where(bit == 1, f32(r ** (2 ** j)), f32(1.0))
-    return v
-
-
 # ---------------------------------------------------------------------------
 # static column plan
 
