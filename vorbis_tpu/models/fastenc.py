@@ -583,11 +583,9 @@ class FastEncoder:
                 if wd is not None:
                     wd = np.concatenate(
                         [wd, np.full(B - len(wd), 3, np.int64)])
-            rows = (sl[:, None] // 64
-                    + np.arange(nr)[None, :]).astype(np.int32)
             wdj = jnp.asarray((wd if wd is not None
                                else np.zeros(B)).astype(np.int32))
-            pk, nb = step(x64d, jnp.asarray(rows), wdj)
+            pk, nb = step(x64d, jnp.asarray(sl.astype(np.int32)), wdj)
             pk.copy_to_host_async()
             nb.copy_to_host_async()
             pend.append((pk, nb))
@@ -608,11 +606,9 @@ class FastEncoder:
                     if wd is not None:
                         wd = np.concatenate(
                             [wd, np.full(B - len(wd), 3, np.int64)])
-                rows = (sl[:, None] // 64
-                        + np.arange(nr)[None, :]).astype(np.int32)
                 wdj = jnp.asarray((wd if wd is not None
                                    else np.zeros(B)).astype(np.int32))
-                pk, nb = big(x64d, jnp.asarray(rows), wdj)
+                pk, nb = big(x64d, jnp.asarray(sl.astype(np.int32)), wdj)
                 pkb = np.asarray(pk)
                 nbb = np.asarray(nb)
             pks.append(pkb)

@@ -918,19 +918,22 @@ class DeviceFastEncode:
         return step
 
     def make_gather_step(self, F, wb=None):
-        """Returns a jittable (x64, rows, wid) -> (packets, nbits)
+        """Returns a jittable (x64, starts, wid) -> (packets, nbits)
         step for the block-switching path: frames gathered at
         arbitrary 64-sample-aligned offsets from the device-resident
-        stream.  x64: (ch, R, 64) PCM (f32 or i16/32768), rows:
-        (F, n//64) int32 row indices, wid: (F,) int32 window-shape id
-        (lW*2+nW, long mode only; ignored for short)."""
+        stream.  x64: (ch, R, 64) PCM (f32 or i16/32768), starts:
+        (F,) int32 sample offsets (64-aligned), wid: (F,) int32
+        window-shape id (lW*2+nW, long mode only; ignored for
+        short)."""
         wb = wb or self.plan.wb
         n, ch = self.n, self.ch
         nr = n // 64
 
-        def step(x64, rows, wid):
+        def step(x64, starts, wid):
             if x64.dtype != jnp.float32:
                 x64 = x64.astype(jnp.float32) / f32(32768.0)
+            rows = (starts[:, None] // 64
+                    + jnp.arange(nr, dtype=jnp.int32)[None, :])
             fr = jnp.take(x64, rows, axis=1)       # (ch, F, nr, 64)
             flat = fr.reshape(ch, F, n).transpose(1, 0, 2) \
                 .reshape(F * ch, n)
