@@ -462,6 +462,50 @@ class FastEncoder:
         return self._slicers[key]
 
 
+
+    @staticmethod
+    def _write_audio_pages(w, rows_for, sizes, gps, eos_last=True,
+                           per_page=16):
+        """Emit audio packets onto pages directly (the generic
+        OggStreamWriter packetin/lace path costs ~26us/packet in
+        Python; this builds each 16-packet page in one pass).  w: an
+        OggStreamWriter that already emitted the header pages."""
+        import struct
+
+        from ..bitstream.oggfile import ogg_crc
+        npkt = len(sizes)
+        serialno = w.serialno
+        pageno = w.pageno
+        pages = w._pages
+        i0 = 0
+        while i0 < npkt:
+            lacing = bytearray()
+            body = bytearray()
+            hi = i0
+            while hi < npkt and hi - i0 < per_page:
+                nsz = int(sizes[hi])
+                need = nsz // 255 + 1
+                if lacing and len(lacing) + need > 255:
+                    break                 # lacing table is full
+                body += rows_for(hi)
+                while nsz >= 255:
+                    lacing.append(255)
+                    nsz -= 255
+                lacing.append(nsz)
+                hi += 1
+            eos = eos_last and hi == npkt
+            htype = 4 if eos else 0
+            hdr = struct.pack(
+                "<4sBBqIIIB", b"OggS", 0, htype, int(gps[hi - 1]),
+                serialno & 0xFFFFFFFF, pageno, 0, len(lacing))
+            page = bytearray(hdr + bytes(lacing) + bytes(body))
+            crc = ogg_crc(bytes(page))
+            page[22:26] = struct.pack("<I", crc)
+            pages.append(bytes(page))
+            pageno += 1
+            i0 = hi
+        w.pageno = pageno
+
     # -- block switching (envelope-driven 256/2048) -----------------------
     def _dev_for(self, W):
         """DeviceFastEncode per block mode (cached)."""
@@ -654,8 +698,10 @@ class FastEncoder:
         pk_l, nb_l = self._run_gather_batches(
             1, x64d, starts[li], wid[li])
         if len(si):
+            # shorts are sparse on typical content: a small batch
+            # capacity avoids paying a full-size step for padding
             pk_s, nb_s = self._run_gather_batches(
-                0, x64d, starts[si], None)
+                0, x64d, starts[si], None, B=256)
         else:
             pk_s = np.zeros((0, 1), np.uint8)
             nb_s = np.zeros(0, np.int64)
@@ -670,18 +716,20 @@ class FastEncoder:
         ilk = np.zeros(npkt, np.int64)
         ilk[li] = np.arange(len(li))
         ilk[si] = np.arange(len(si))
-        for i in range(npkt):
+        sizes = np.empty(npkt, np.int64)
+        sizes[li] = (nb_l + 7) >> 3
+        if len(si):
+            sizes[si] = (nb_s + 7) >> 3
+        # only the page-final packet's granulepos lands on a page
+        gps = cs - hop
+        gps[-1] = ns
+
+        def rows_for(i):
             if Ws[i] == 1:
-                row, bits = pk_l[ilk[i]], int(nb_l[ilk[i]])
-            else:
-                row, bits = pk_s[ilk[i]], int(nb_s[ilk[i]])
-            pkt = row[:(bits + 7) >> 3].tobytes()
-            eos = i == npkt - 1
-            gp = ns if eos else int(cs[i] - hop)
-            w.packetin(pkt, gp, eos=eos)
-            if i % 16 == 0 or eos:
-                w.flush(eos=eos)
-        w.flush()
+                return pk_l[ilk[i], :sizes[i]].tobytes()
+            return pk_s[ilk[i], :sizes[i]].tobytes()
+
+        self._write_audio_pages(w, rows_for, sizes, gps)
         return w.pageout_all()
 
     # -- host side ---------------------------------------------------------
