@@ -42,4 +42,13 @@ def __getattr__(name):
     if name == "decode_file":
         from .vorbisfile import decode_file
         return decode_file
+    if name == "FastEncoder":
+        from .models.fastenc import FastEncoder
+        return FastEncoder
+    if name == "FastDecoder":
+        from .models.fastdec import FastDecoder
+        return FastDecoder
+    if name == "decode_ogg_fast":
+        from .models.fastdec import decode_ogg_fast
+        return decode_ogg_fast
     raise AttributeError(name)
