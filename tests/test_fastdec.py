@@ -78,3 +78,37 @@ def test_fastdec_corrupt_stream_no_crash(tmp_path):
         pass
     out = OggVorbisFile(bytes(data)).read_all_float()
     assert np.isfinite(out).all()
+
+
+def test_native_parser_fuzz(tmp_path):
+    """The C packet parser consumes untrusted bit streams: garbage,
+    bit-flipped, truncated, and header-plus-junk packets must all
+    parse without memory errors (every array write in
+    vn_parse_packets is bounds-guarded)."""
+    from vorbis_tpu.bitstream.oggfile import OggStreamReader
+    from vorbis_tpu.codec import headers as H
+    from vorbis_tpu.codec.nativeparse import (StreamParseTables,
+                                              parse_packets)
+    pcm = oracle.make_test_signal(seconds=0.3)
+    data = oracle.encode_vbr(pcm, 44100, 0.5, str(tmp_path / "fz.ogg"))
+    pkts = [p for p, _, _ in OggStreamReader(data).packets()]
+    vi = H.parse_headers(pkts[:3])
+    tb = StreamParseTables(vi)
+    audio = pkts[3:]
+    rng = np.random.RandomState(0)
+    for _ in range(10):
+        bad = [bytes(rng.randint(0, 256, rng.randint(1, 900),
+                                 dtype=np.uint8))
+               for _ in range(rng.randint(1, 20))]
+        parse_packets(tb, bad)
+    for _ in range(20):
+        mut = []
+        for p in audio:
+            b = bytearray(p)
+            for _ in range(rng.randint(1, 8)):
+                b[rng.randint(len(b))] ^= 1 << rng.randint(8)
+            mut.append(bytes(b))
+        parse_packets(tb, mut)
+    for _ in range(10):
+        mut = [p[:rng.randint(0, len(p))] or b"\x00" for p in audio]
+        parse_packets(tb, mut)
