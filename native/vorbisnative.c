@@ -204,11 +204,20 @@ static inline long vn_huff1(const uint8_t *data, long nbits_total,
     long p = *pos;
     long byte = p >> 3;
     int bit = p & 7;
-    uint64_t acc = 0;
-    long maxbyte = (nbits_total + 7) >> 3;
-    for (int k = 0; k < 7; k++) {
-        uint64_t b = (byte + k < maxbyte) ? data[byte + k] : 0;
-        acc |= b << (8 * k);
+    /* one unaligned 8-byte load (the caller pads the packet blob
+     * with 8 slack bytes so the read is always in bounds), then mask
+     * to the packet's true bit length — oggpack_look ZERO-extends
+     * past end, and a tail that borrows the next packet's bits could
+     * decode a spurious symbol instead of stopping.  Needed bits:
+     * bit(<=7) + K1(10) + K2(<=22) <= 39 < 57. */
+    uint64_t acc;
+    memcpy(&acc, data + byte, 8);
+    {
+        long avail = nbits_total - (byte << 3);
+        if (avail <= 0)
+            acc = 0;
+        else if (avail < 64)
+            acc &= (~0ULL) >> (64 - avail);
     }
     uint64_t word = (acc >> bit) & ((1ULL << VN_K1) - 1);
     int32_t t = t1[word];

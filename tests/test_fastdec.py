@@ -112,3 +112,17 @@ def test_native_parser_fuzz(tmp_path):
     for _ in range(10):
         mut = [p[:rng.randint(0, len(p))] or b"\x00" for p in audio]
         parse_packets(tb, mut)
+
+
+def test_fastdec_bit_exact_on_managed_streams(tmp_path):
+    """ABR streams carry truncated packets (a normal residue stop
+    condition); the native parser's packet-tail zero-extension must
+    match oggpack semantics exactly."""
+    pcm = oracle.make_test_signal(seconds=0.6)
+    for kbps in (96, 64):
+        data = oracle.encode_vbr(pcm, 44100, 0.0,
+                                 str(tmp_path / f"abr{kbps}.ogg"),
+                                 managed_kbps=kbps)
+        want, _ = decode_ogg(data)
+        got, _ = decode_ogg_fast(data)
+        assert np.array_equal(got, want)
