@@ -188,7 +188,8 @@ long vn_pack_bits_multi(const uint64_t *values, const int32_t *nbits,
  * entries; full-dim writes per entry).
  *
  * Restrictions (caller falls back to the scalar path otherwise):
- * floor type 1 only, one submap per mapping.
+ * floor type 1 only.  Multi-submap mappings (e.g. 5.1) ARE supported:
+ * per-channel floor/residue configs are flattened per chmux entry.
  *
  * Config/book tables are flat int32/float arrays marshaled by
  * vorbis_tpu/codec/nativeparse.py; see that file for layouts.

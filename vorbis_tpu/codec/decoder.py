@@ -43,6 +43,13 @@ class NotAudioPacket(ValueError):
     pass
 
 
+class BadPacketError(ValueError):
+    """OV_EBADPACKET: structurally invalid audio packet (bad mode
+    number etc.).  Typed so the vorbisfile hole handling can catch
+    exactly the codec's own validation failures without swallowing
+    genuine bugs that raise bare ValueError."""
+
+
 class Decoder:
     """Stateful single-stream decoder mirroring the libvorbis dsp/block
     state machine."""
@@ -101,7 +108,7 @@ class Decoder:
             raise NotAudioPacket
         mode = r.read(self.modebits)
         if mode >= len(vi.modes):
-            raise NotAudioPacket
+            raise BadPacketError("bad packet mode (OV_EBADPACKET)")
         minfo = vi.modes[mode]
         W = minfo.blockflag
         if W:
@@ -305,13 +312,13 @@ class Decoder:
 def packet_blocksize(vi: H.VorbisInfo, packet: bytes) -> int:
     """vorbis_packet_blocksize (synthesis.c:142): blocksize of an audio
     packet without decoding it.  Raises NotAudioPacket for header
-    packets, ValueError for a bad mode."""
+    packets, BadPacketError for a bad mode."""
     r = BitReader(packet)
     if r.read1() != 0:
         raise NotAudioPacket
     mode = r.read(ilog(len(vi.modes) - 1))
     if mode >= len(vi.modes):
-        raise ValueError("bad packet mode (OV_EBADPACKET)")
+        raise BadPacketError("bad packet mode (OV_EBADPACKET)")
     return vi.blocksizes[vi.modes[mode].blockflag]
 
 

@@ -9,9 +9,11 @@ unwrapped floor posts, per-channel used flags, and fully accumulated
 float32 residue vectors — that the batched synthesis (models/fastdec.py)
 consumes without any per-packet Python.
 
-Eligibility: floor type 1 everywhere and one submap per mapping (every
-standard encoder template).  Anything else -> caller uses the scalar
-Decoder path.
+Eligibility: floor type 1 everywhere (every standard encoder template;
+multi-submap mappings like the 5.1 templates are supported).  Floor
+type 0 (legacy LSP streams) -> caller uses the scalar Decoder path;
+the fallback is counted/logged by the caller so the speed cliff is
+visible (see models/fastdec.py fallback_reason).
 """
 
 from __future__ import annotations
@@ -32,19 +34,27 @@ class StreamParseTables:
 
     def __init__(self, vi: H.VorbisInfo):
         self.vi = vi
-        self.ok = self._check(vi)
+        self.why = self._check(vi)
+        self.ok = self.why is None
         if self.ok:
             self._build()
 
     @staticmethod
-    def _check(vi) -> bool:
-        if vi.channels > _MAXCH or len(vi.books) > 512:
-            return False
+    def _check(vi):
+        """Returns None when native-decodable, else a human-readable
+        reason (surfaced by the caller so the scalar-speed fallback is
+        never silent)."""
+        if vi.channels > _MAXCH:
+            return f"{vi.channels} channels > {_MAXCH}"
+        if len(vi.books) > 512:
+            return f"{len(vi.books)} codebooks > 512"
         for t in vi.floor_types:
             if t != 1:
-                return False
+                return f"floor type {t} (legacy LSP floor)"
         from ..native import _load
-        return _load() is not None
+        if _load() is None:
+            return "native library unavailable"
+        return None
 
     def _build(self):
         vi = self.vi

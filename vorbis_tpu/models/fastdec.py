@@ -38,9 +38,9 @@ from ..ops.window import hybrid_window
 
 
 class FastDecodeUnsupported(Exception):
-    """Stream shape the native path doesn't cover (floor0, multiple
-    submaps, missing native lib) — caller falls back to the scalar
-    Decoder."""
+    """Stream shape the native path doesn't cover (floor type 0 or a
+    missing native lib; multi-submap mappings like 5.1 ARE supported)
+    — caller falls back to the scalar Decoder."""
 
 
 def _render_curves(look, posts, n2, fromdB):
@@ -111,7 +111,8 @@ class FastDecoder:
         self.vi = vi
         self.tables = StreamParseTables(vi)
         if not self.tables.ok:
-            raise FastDecodeUnsupported("stream shape not native-decodable")
+            raise FastDecodeUnsupported(
+                f"stream not native-decodable: {self.tables.why}")
         self.fromdB = fromdB_lookup()
 
 

@@ -36,7 +36,7 @@ from .bitstream.oggfile import parse_page
 from .codec import headers as H
 from .codec.codebook import BadHeaderError
 from .bitstream.bitpack import EndOfPacket
-from .codec.decoder import Decoder, NotAudioPacket
+from .codec.decoder import BadPacketError, Decoder, NotAudioPacket
 
 
 class OVError(Exception):
@@ -56,10 +56,11 @@ class OVInvalidError(OVError):
 
 
 # codec-level exceptions that mean "damaged packet" (OV_HOLE /
-# OV_EBADPACKET semantics: resync, don't crash); everything else is a
-# genuine bug and propagates
-_HOLE_ERRORS = (NotAudioPacket, EndOfPacket, BadHeaderError,
-                ValueError, KeyError)
+# OV_EBADPACKET semantics: resync, don't crash).  Only the codec's own
+# TYPED validation errors qualify — a bare ValueError/KeyError from
+# inside the decoder is a genuine bug and propagates
+_HOLE_ERRORS = (NotAudioPacket, BadPacketError, EndOfPacket,
+                BadHeaderError)
 
 _MAX_PAGE = 65307 + 282          # max Ogg page + header slack
 
@@ -185,6 +186,8 @@ class OggVorbisFile:
         self._src = _Source(src)
         self.links: list[_Link] = []
         self.hole_count = 0
+        self.fast_fallbacks = 0      # scalar-path fallbacks (visible
+        #                              speed cliff; see _read_all_batched)
         self._discover_links()
         if not self.links:
             raise OVNotVorbisError("no Vorbis stream found")
@@ -539,8 +542,14 @@ class OggVorbisFile:
                         pass
                 self._decoder.pcm_returned = self._decoder.pcm_current
                 continue
-            except FastDecodeUnsupported:
-                pass
+            except FastDecodeUnsupported as e:
+                # visible cliff: the scalar per-packet path is orders
+                # of magnitude slower — count it and warn once
+                import warnings
+                self.fast_fallbacks += 1
+                warnings.warn(
+                    f"vorbis_tpu: falling back to the scalar decode "
+                    f"path ({e})", RuntimeWarning, stacklevel=2)
             dec = self._decoder
             parsed = []            # (spec, W, gp, eos)
             for pk, gp, eos in link_pkts:
