@@ -114,3 +114,31 @@ def test_device_render_bit_exact(captures):
             assert np.array_equal(cur[k], FC.floor1_curve(eo, lk, lk.n))
             checked += 1
     assert checked > 10
+
+
+def test_pallas_fit_bitwise_equal_interpret():
+    """The Pallas floor-fit kernel (interpret mode on CPU) emits
+    bitwise-identical posts to the XLA formulation.  The TPU-compiled
+    kernel is additionally checked on real audio by the bench
+    tooling."""
+    import jax.numpy as jnp
+
+    from vorbis_tpu.ops.floor_pallas import DeviceFloorFitPallas
+
+    from vorbis_tpu.models.fastenc import FastEncoder
+    look = FastEncoder(2, 44100, 0.5, switching=False).fl_look
+    base = DeviceFloorFit(look)
+    pal = DeviceFloorFitPallas(look, block_frames=8, interpret=True)
+    rng = np.random.RandomState(7)
+    B = 8
+    logmdct = jnp.asarray((rng.randn(B, look.n) * 20 - 60)
+                          .astype(np.float32))
+    # correlated mask (the fit's above/below classification must see
+    # both regimes)
+    mask = jnp.asarray((np.asarray(logmdct)
+                        + rng.randn(B, look.n) * 6 - 3)
+                       .astype(np.float32))
+    p0, u0 = base(logmdct, mask)
+    p1, u1 = pal(logmdct, mask)
+    assert np.array_equal(np.asarray(u0), np.asarray(u1))
+    assert np.array_equal(np.asarray(p0), np.asarray(p1))

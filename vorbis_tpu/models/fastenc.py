@@ -30,7 +30,7 @@ from ..bitstream.bitpack import FieldWriter, ilog
 from ..bitstream.oggfile import OggStreamWriter
 from ..codec.encoder import Encoder
 from ..codec.floor1_codec import fromdB_lookup
-from ..ops.floor_device import DeviceFloorFit
+from ..ops.floor_pallas import make_floor_fit
 from ..ops.jaxdsp import DeviceAnalysis
 from ..ops.residue_device import DeviceResidueVQ
 from . import encsetup
@@ -71,7 +71,7 @@ class _ShortCtx:
                                        rate=fe.rate, W=0)
         fl_idx = mapping.floorsubmap[mapping.chmuxlist[0]]
         self.fl_look = fe.enc.floor_looks[fl_idx]
-        self.floor = DeviceFloorFit(self.fl_look)
+        self.floor = make_floor_fit(self.fl_look)
         self.fromdB = fe.fromdB
         res_idx = mapping.residuesubmap[mapping.chmuxlist[0]]
         self.res_look = fe.enc.residue_looks[res_idx]
@@ -90,15 +90,14 @@ class _ShortCtx:
             self.couple = _couple_params(fe.setup, 0, 0, self.n // 2)
 
 
-def _couple_params(setup, blocktype, blockflag, n2):
+def _couple_params(setup, blocktype, blockflag, n2, blob=7):
     """Static stereo-coupling constants for the fast path (reference:
-    _vp_couple_quantize_normalize's threshold setup, blob 7 of the
-    unmanaged middle)."""
+    _vp_couple_quantize_normalize's threshold setup; blob 7 is the
+    unmanaged middle, the managed pass builds all 15)."""
     from ..ops.psy import _tables
     t = _tables()
     g = setup.psy_global
     pv = setup.psy_params[blocktype]
-    blob = 7
     st = t["stereo_threshholds"]
     stX = t["stereo_threshholds_X"]
     prepoint = np.float32(st[g["coupling_prepointamp"][blob]])
@@ -124,9 +123,20 @@ def _couple_params(setup, blocktype, blockflag, n2):
 
 
 class FastEncoder:
-    def __init__(self, ch: int, rate: int, quality: float,
-                 switching: bool = True, coupling: bool | None = None):
-        b = encsetup.setup_vbr_staged(ch, rate, quality)
+    def __init__(self, ch: int, rate: int, quality: float = 0.5,
+                 switching: bool = True, coupling: bool | None = None,
+                 bitrate: tuple | None = None):
+        """bitrate=(max_bps, nominal_bps, min_bps) selects managed
+        (ABR/CBR) mode: the encode runs the 15-packetblob device pass
+        and the host reservoir floater picks each packet
+        (ops/managed.py; reference lib/bitrate.c).  Otherwise
+        unmanaged VBR at `quality`."""
+        self.managed = bitrate is not None
+        if self.managed:
+            mx, nom, mn = bitrate
+            b = encsetup.setup_managed_staged(ch, rate, mx, nom, mn)
+        else:
+            b = encsetup.setup_vbr_staged(ch, rate, quality)
         if coupling is None:
             coupling = ch == 2
         if not coupling:
@@ -160,7 +170,7 @@ class FastEncoder:
             rate=rate, W=self.W_main)
         fl_idx = self.mapping.floorsubmap[self.mapping.chmuxlist[0]]
         self.fl_look = self.enc.floor_looks[fl_idx]
-        self.floor = DeviceFloorFit(self.fl_look)
+        self.floor = make_floor_fit(self.fl_look)
         self.fromdB = jnp.asarray(fromdB_lookup())
         res_idx = self.mapping.residuesubmap[self.mapping.chmuxlist[0]]
         self.res_look = self.enc.residue_looks[res_idx]
@@ -196,7 +206,8 @@ class FastEncoder:
         self._short_ctx = None
         self._dev_short = None
         self._dev_gather = None
-        self._env = None
+        self._managed_dev = None
+        self._reservoir = None
 
     def ctx(self, W: int = 1):
         """Per-mode component bundle; the long ctx is the encoder
@@ -527,49 +538,64 @@ class FastEncoder:
 
     _ENV_STEPS = 8192        # envelope chunk, in 64-sample steps
     _ENV_HIST = 32           # history overlap (nearDC window + stretch)
+    _ENV_NC = 8              # env chunks per dispatch (batch mode)
 
-    def _envelope_marks(self, xd, S):
-        """Device envelope pass over the padded device-resident stream
-        -> host bool marks (S//64 - 1,).  Fixed-size chunks with
-        history overlap keep one compiled shape."""
-        from ..ops.jaxdsp import DeviceEnvelope
-        if self._env is None:
+    def _env_chunk_step(self, NC):
+        """Jitted (x64 (ch, R, 64), starts (NC,) int32 row offsets) ->
+        (NC, E) bool marks.  Row-gathers envelope chunks from the
+        concatenated multi-stream array so one dispatch covers chunks
+        of MANY streams (encode_batch's chip-filling envelope pass)."""
+        if not hasattr(self, "_env_steps_cache"):
+            self._env_steps_cache = {}
+        if NC not in self._env_steps_cache:
+            from ..ops.jaxdsp import DeviceEnvelope
             env = DeviceEnvelope(self.setup.psy_global, self.ch)
             E = self._ENV_STEPS
+            ch = self.ch
 
             @jax.jit
-            def envstep(x, s0):
-                sl = jax.lax.dynamic_slice_in_dim(
-                    x, s0, (E + 1) * 64, axis=1)
-                if sl.dtype != jnp.float32:
-                    sl = sl.astype(jnp.float32) / np.float32(32768.0)
-                return env.marks(sl)
+            def step(x64, starts):
+                rows = (starts[:, None]
+                        + jnp.arange(E + 1, dtype=jnp.int32)[None, :])
+                sl = jnp.take(x64, rows, axis=1)   # (ch, NC, E+1, 64)
+                x = sl.reshape(ch, NC, (E + 1) * 64)
+                if x.dtype != jnp.float32:
+                    x = x.astype(jnp.float32) / np.float32(32768.0)
+                return env.marks_nd(x)
 
-            self._env = envstep
-        E = self._ENV_STEPS
-        H = self._ENV_HIST
-        nsteps = S // 64 - 1
-        if S < (E + 1) * 64:
-            # short stream: pad up to one envelope chunk (silence adds
-            # no marks)
-            xd = jnp.pad(xd, ((0, 0), (0, (E + 1) * 64 - S)))
-            S = (E + 1) * 64
-        marks = np.zeros(nsteps, bool)
-        # dispatch every chunk first, fetch after — the blocking
-        # device->host roundtrip costs ~20ms through the tunnel, so
-        # serial dispatch+fetch per chunk would dominate the pass
-        plan = []
-        s = 0
-        while s < nsteps:
-            s0 = min(max(0, s - H), max(0, S // 64 - (E + 1)))
-            lo = s - s0
-            take = min(E - lo, nsteps - s)
-            d = self._env(xd, s0 * 64)
+            self._env_steps_cache[NC] = step
+        return self._env_steps_cache[NC]
+
+    def _envelope_marks_multi(self, x64, metas):
+        """Batched envelope pass over the concatenated stream array.
+        metas: [(ns, base_row, Si)] per stream (Si >= one envelope
+        chunk).  Returns per-stream bool mark arrays."""
+        E, H = self._ENV_STEPS, self._ENV_HIST
+        plans = []            # (stream, dst_step, lo, take, abs_row)
+        for si, (ns, base, Si) in enumerate(metas):
+            nsteps = Si // 64 - 1
+            s = 0
+            while s < nsteps:
+                s0 = min(max(0, s - H), max(0, Si // 64 - (E + 1)))
+                lo = s - s0
+                take = min(E - lo, nsteps - s)
+                plans.append((si, s, lo, take, base + s0))
+                s += take
+        NC = self._ENV_NC
+        step = self._env_chunk_step(NC)
+        outs = []
+        for o in range(0, len(plans), NC):
+            grp = plans[o:o + NC]
+            st = np.zeros(NC, np.int32)
+            st[:len(grp)] = [g[4] for g in grp]
+            d = step(x64, jnp.asarray(st))
             d.copy_to_host_async()
-            plan.append((s, lo, take, d))
-            s += take
-        for s, lo, take, d in plan:
-            marks[s:s + take] = np.asarray(d)[lo:lo + take]
+            outs.append(d)
+        marks = [np.zeros(Si // 64 - 1, bool) for (_, _, Si) in metas]
+        for o, d in zip(range(0, len(plans), NC), outs):
+            dn = np.asarray(d)
+            for j, (si, s, lo, take, _) in enumerate(plans[o:o + NC]):
+                marks[si][s:s + take] = dn[j, lo:lo + take]
         return marks
 
     def _schedule(self, marks, ns):
@@ -666,45 +692,178 @@ class FastEncoder:
         return (np.concatenate(pks)[:F], np.concatenate(nbs)[:F])
 
     def _encode_switched(self, pcm, serialno, comments):
-        ch, ns = pcm.shape
-        hop = self.n // 2
-        is_dev = isinstance(pcm, jax.Array)
-        S = ((ns + hop + 4 * hop + 63) // 64) * 64 + 64
-        tail = S - ns - hop
-        if is_dev:
-            xd = jnp.pad(pcm, ((0, 0), (hop, tail)))
-        else:
-            if pcm.dtype == np.int16:
-                zdt = np.int16
-            else:
-                pcm = pcm.astype(np.float32, copy=False)
-                zdt = pcm.dtype
-            x = np.concatenate(
-                [np.zeros((ch, hop), zdt), pcm,
-                 np.zeros((ch, tail), zdt)], 1)
-            xd = jax.device_put(x)
-        x64d = xd.reshape(ch, S // 64, 64)
-        marks = self._envelope_marks(xd, S)
-        cs, Ws = self._schedule(marks, ns)
-        npkt = len(cs)
-        lW = np.concatenate([[1], Ws[:-1]])
-        nW = np.concatenate([Ws[1:], [Ws[-1]]])
-        bsz = np.where(Ws == 1, self.n, self.vi.blocksizes[0])
-        starts = cs - bsz // 2
-        wid = (lW * 2 + nW).astype(np.int64)
+        return self.encode_batch([pcm], [serialno], comments,
+                                 switching=True, B_long=1024)[0]
 
-        li = np.where(Ws == 1)[0]
-        si = np.where(Ws == 0)[0]
+    def encode_batch(self, pcms, serialnos=None, comments=None,
+                     switching=None, B_long=2048, B_short=256):
+        """Encode S independent streams through ONE device pipeline.
+
+        The chip-filling entry point behind the batched >500x
+        throughput target (BASELINE.md north star): all streams'
+        frames ride the same compiled gather steps — envelope chunks,
+        long blocks, and short blocks each batch ACROSS streams — so
+        device occupancy no longer depends on single-stream length,
+        and the host does only per-stream Ogg paging (overlapped with
+        device compute via async fetches).
+
+        pcms: list of (ch, ns) int16/float32 arrays, host or
+        device-resident; lengths may differ.  Returns a list of Ogg
+        byte strings (one per stream)."""
+        sw = self.switching if switching is None else switching
+        ch = self.ch
+        hop = self.n // 2
+        n0 = self.vi.blocksizes[0]
+        if serialnos is None:
+            serialnos = [778 + i for i in range(len(pcms))]
+        # 1) concatenated padded 64-sample-row layout (per-stream
+        # front/tail pads keep gathers from ever crossing streams)
+        minS = (self._ENV_STEPS + 1) * 64 if sw else 0
+        metas, parts = [], []
+        base = 0
+        for pcm in pcms:
+            assert pcm.shape[0] == ch
+            ns = int(pcm.shape[1])
+            Si = ((ns + hop + 4 * hop + 63) // 64) * 64 + 64
+            Si = max(Si, minS)
+            tail = Si - ns - hop
+            if isinstance(pcm, jax.Array):
+                xd = jnp.pad(pcm, ((0, 0), (hop, tail)))
+            else:
+                if pcm.dtype == np.int16:
+                    zdt = np.int16
+                else:
+                    pcm = pcm.astype(np.float32, copy=False)
+                    zdt = pcm.dtype
+                x = np.concatenate(
+                    [np.zeros((ch, hop), zdt), pcm,
+                     np.zeros((ch, tail), zdt)], 1)
+                xd = jax.device_put(x)
+            parts.append(xd.reshape(ch, Si // 64, 64))
+            metas.append((ns, base, Si))
+            base += Si // 64
+        if len({p.dtype for p in parts}) > 1:
+            # mixed int16/float32 inputs: promote to the f32 domain the
+            # gather step would produce anyway (x/32768)
+            parts = [p.astype(jnp.float32) / np.float32(32768.0)
+                     if p.dtype != jnp.float32 else p for p in parts]
+        x64 = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 1)
+
+        # 2) envelope marks (all streams batched)
+        if sw:
+            marks = self._envelope_marks_multi(x64, metas)
+        else:
+            marks = [np.zeros(Si // 64 - 1, bool)
+                     for (_, _, Si) in metas]
+
+        # 3) per-stream block schedule -> global frame lists
+        per = []
+        gl_st, gl_wd, gs_st = [], [], []
+        nlong = nshort = 0
+        for (ns, brow, Si), mk in zip(metas, marks):
+            cs, Ws = self._schedule(mk, ns)
+            lW = np.concatenate([[1], Ws[:-1]])
+            nW = np.concatenate([Ws[1:], [Ws[-1]]])
+            bsz = np.where(Ws == 1, self.n, n0)
+            starts = cs - bsz // 2 + brow * 64
+            wid = (lW * 2 + nW).astype(np.int64)
+            li = np.where(Ws == 1)[0]
+            si = np.where(Ws == 0)[0]
+            per.append(dict(cs=cs, Ws=Ws, li=li, si=si, ns=ns,
+                            lofs=nlong, sofs=nshort))
+            gl_st.append(starts[li])
+            gl_wd.append(wid[li])
+            gs_st.append(starts[si])
+            nlong += len(li)
+            nshort += len(si)
+
+        # 4) one gather pipeline per block mode, ALL streams batched
         pk_l, nb_l = self._run_gather_batches(
-            1, x64d, starts[li], wid[li])
-        if len(si):
-            # shorts are sparse on typical content: a small batch
-            # capacity avoids paying a full-size step for padding
+            1, x64, np.concatenate(gl_st) if gl_st else
+            np.zeros(0, np.int64),
+            np.concatenate(gl_wd) if gl_wd else None, B=B_long)
+        if nshort:
             pk_s, nb_s = self._run_gather_batches(
-                0, x64d, starts[si], None, B=256)
+                0, x64, np.concatenate(gs_st), None, B=B_short)
         else:
             pk_s = np.zeros((0, 1), np.uint8)
             nb_s = np.zeros(0, np.int64)
+
+        # 5) per-stream Ogg paging
+        outs = []
+        for rec, serialno in zip(per, serialnos):
+            cs, Ws, li, si = rec["cs"], rec["Ws"], rec["li"], rec["si"]
+            ns = rec["ns"]
+            npkt = len(cs)
+            w = OggStreamWriter(serialno)
+            h1, h2, h3 = self.enc.header_packets(comments)
+            w.packetin(h1, 0)
+            w.flush()
+            w.packetin(h2, 0)
+            w.packetin(h3, 0)
+            w.flush()
+            ilk = np.zeros(npkt, np.int64)
+            ilk[li] = rec["lofs"] + np.arange(len(li))
+            ilk[si] = rec["sofs"] + np.arange(len(si))
+            sizes = np.empty(npkt, np.int64)
+            sizes[li] = (nb_l[ilk[li]] + 7) >> 3
+            if len(si):
+                sizes[si] = (nb_s[ilk[si]] + 7) >> 3
+            gps = cs - hop
+            gps[-1] = ns
+
+            def rows_for(i, Ws=Ws, ilk=ilk, sizes=sizes):
+                if Ws[i] == 1:
+                    return pk_l[ilk[i], :sizes[i]].tobytes()
+                return pk_s[ilk[i], :sizes[i]].tobytes()
+
+            self._write_audio_pages(w, rows_for, sizes, gps)
+            outs.append(w.pageout_all())
+        return outs
+
+    # -- managed (ABR/CBR) path --------------------------------------------
+    def encode_managed(self, pcm, serialno=778, comments=None,
+                       chunk=256) -> bytes:
+        """Managed fast encode: every chunk of frames runs the
+        15-packetblob device pass in ONE jit (blob axis folded into
+        the frame batch), the host reservoir floater
+        (ops/managed.ReservoirChooser, an exact port of
+        lib/bitrate.c:73-227) picks each packet, and a device gather
+        fetches only the chosen blob's bytes — 1/15th of the packet
+        data crosses the host link.  Long-block framing (the managed
+        fast path does not yet block-switch; packets remain valid
+        aoTuV streams)."""
+        from ..ops.managed import DeviceManagedEncode, ReservoirChooser
+        assert self.managed, "construct FastEncoder(bitrate=...) first"
+        if self._managed_dev is None:
+            self._managed_dev = DeviceManagedEncode(self, W=self.W_main)
+        mdev = self._managed_dev
+        chooser = ReservoirChooser(self.setup, self.rate,
+                                   self.vi.blocksizes)
+        ch, ns = pcm.shape
+        n, hop = self.n, self.n // 2
+        frames = self._frame(np.asarray(pcm).astype(np.float32)
+                             / (32768.0 if pcm.dtype == np.int16
+                                else 1.0))          # (ch, F, n)
+        F = frames.shape[1]
+        step = mdev.get_step(chunk)
+        gather = mdev.gather_step()
+        wb = mdev.dev.plan.wb
+
+        # dispatch all chunks, keep (pk_dev, nb) pairs; choose+gather
+        # as results drain
+        pend = []
+        for o in range(0, F, chunk):
+            blk = frames[:, o:o + chunk]
+            if blk.shape[1] < chunk:
+                blk = np.concatenate(
+                    [blk, np.zeros((ch, chunk - blk.shape[1], n),
+                                   np.float32)], 1)
+            fr = jnp.asarray(np.ascontiguousarray(
+                blk.transpose(1, 0, 2)))
+            pk, nb = step(fr)
+            nb.copy_to_host_async()
+            pend.append((o, pk, nb))
 
         w = OggStreamWriter(serialno)
         h1, h2, h3 = self.enc.header_packets(comments)
@@ -713,23 +872,35 @@ class FastEncoder:
         w.packetin(h2, 0)
         w.packetin(h3, 0)
         w.flush()
-        ilk = np.zeros(npkt, np.int64)
-        ilk[li] = np.arange(len(li))
-        ilk[si] = np.arange(len(si))
-        sizes = np.empty(npkt, np.int64)
-        sizes[li] = (nb_l + 7) >> 3
-        if len(si):
-            sizes[si] = (nb_s + 7) >> 3
-        # only the page-final packet's granulepos lands on a page
-        gps = cs - hop
-        gps[-1] = ns
-
-        def rows_for(i):
-            if Ws[i] == 1:
-                return pk_l[ilk[i], :sizes[i]].tobytes()
-            return pk_s[ilk[i], :sizes[i]].tobytes()
-
-        self._write_audio_pages(w, rows_for, sizes, gps)
+        gp = 0
+        fglobal = 0
+        W = self.W_main
+        for o, pk, nb in pend:
+            sizes = (np.asarray(nb) + 7) >> 3           # (chunk, 15)
+            hi = min(chunk, F - o)
+            choices = np.zeros(chunk, np.int64)
+            trunc = np.zeros(chunk, np.int64)
+            pads = np.zeros(chunk, np.int64)
+            for f in range(hi):
+                c, t, p = chooser.choose(sizes[f], W)
+                choices[f], trunc[f], pads[f] = c, t, p
+            sel = np.asarray(gather(pk, jnp.asarray(choices)))
+            for f in range(hi):
+                nbytes = int(sizes[f, choices[f]])
+                data = sel[f, :nbytes].tobytes()
+                if trunc[f]:
+                    data = data[:nbytes - int(trunc[f])]
+                if pads[f]:
+                    data = data + b"\x00" * int(pads[f])
+                gp = 0 if fglobal == 0 else gp + hop
+                eos = fglobal == F - 1
+                if eos:
+                    gp = ns
+                w.packetin(data, gp if fglobal > 0 else 0, eos=eos)
+                if fglobal % 16 == 0 or eos:
+                    w.flush(eos=eos)
+                fglobal += 1
+        w.flush()
         return w.pageout_all()
 
     # -- host side ---------------------------------------------------------
@@ -761,6 +932,8 @@ class FastEncoder:
         256/2048 block selection and the stream mixes short/long
         packets like the reference encoder; switching=False forces the
         long-only pipeline."""
+        if self.managed:
+            return self.encode_managed(pcm, serialno, comments)
         sw = self.switching if switching is None else switching
         if sw:
             return self._encode_switched(pcm, serialno, comments)

@@ -720,7 +720,8 @@ class DeviceFastEncode:
             k = jnp.where(ok, kk, k)
         return k
 
-    def _couple_quantize(self, md, curve, used, F):
+    def _couple_quantize(self, md, curve, used, F, thr1=None,
+                         threv=None, inlimit=None):
         """Stereo channel coupling + quantization (reference:
         _vp_couple_quantize_normalize, psy.c:4858-5142), stateless fast
         path: per-bin lossless flags from the stereo point thresholds,
@@ -728,7 +729,12 @@ class DeviceFastEncode:
         point fold with energy requantization.  Skips the M6/M9
         cross-frame history and (at rungs where normal_thresh disables
         it anyway) the noise-normalize promotion.  md/curve: (F*2, n2);
-        returns integer-valued (F, 2, n2) float32 residues."""
+        returns integer-valued (F, 2, n2) float32 residues.
+
+        thr1/threv/inlimit may override the single-blob static
+        threshold profiles with per-frame (F, n2) arrays — the managed
+        15-packetblob pass varies prepoint/postpoint/pointlimit per
+        blob (psy.c blob loop, mapping0.c:1204-1313)."""
         cp = self.ctx.couple
         n2 = md.shape[-1]
         mdc = md.reshape(F, 2, n2)
@@ -736,7 +742,8 @@ class DeviceFastEncode:
         cur = curve.reshape(F, 2, n2)
         cur = jnp.where(us[..., None], cur, f32(1e-10))
         res = jnp.where(us[..., None], mdc / cur, f32(0.0))
-        thr1 = jnp.asarray(cp["thr1"][:n2])
+        if thr1 is None:
+            thr1 = jnp.asarray(cp["thr1"][:n2])
         r = jnp.abs(res)
         lossless = (r[:, 0] >= thr1) | (r[:, 1] >= thr1)
         qi = jnp.rint(res)
@@ -756,7 +763,8 @@ class DeviceFastEncode:
         ma = jnp.where(us[:, 1, None], mdc[:, 1], f32(0.0))
         rawM = jnp.where(mm < 0, -(mm * mm), mm * mm)
         rawA = jnp.where(ma < 0, -(ma * ma), ma * ma)
-        threv = jnp.asarray(cp["threv"][:n2])
+        if threv is None:
+            threv = jnp.asarray(cp["threv"][:n2])
         a2 = jnp.abs(rawM * thnor)
         b2 = jnp.abs(rawA * thnor)
         hyp = jnp.where(
@@ -777,8 +785,9 @@ class DeviceFastEncode:
         nm = getattr(self.ctx, "normal", None)
         if nm is not None and nm["thresh"] < 9000.0:
             bins = np.arange(n2)
-            inreg = jnp.asarray((bins >= nm["start"])
-                                & (bins >= cp["limit"]))
+            if inlimit is None:
+                inlimit = jnp.asarray(bins >= cp["limit"])
+            inreg = jnp.asarray(bins >= nm["start"]) & inlimit
             cand = (~lossless) & (ve < f32(0.25)) & inreg \
                 & any_used[:, None]
             outM = self._normalize_promote(outM, ve, jnp.abs(hyp),
@@ -830,15 +839,33 @@ class DeviceFastEncode:
         cross-frame dependency), so sharding the F axis over a device
         mesh is embarrassingly parallel and bitwise-identical to the
         single-device result."""
+        ctx = self.ctx
+        md, logmdct, mask = ctx.analysis.full_mask(flat, wid)
+        posts, used = ctx.floor(logmdct, mask)
+        return self.finish_from_posts(md, posts, used, F, wb, wid)
+
+    def finish_from_posts(self, md, posts, used, F, wb, wid=None,
+                          thr1=None, threv=None, inlimit=None,
+                          lowpass=None):
+        """Post-fit encode body: raw fit posts -> packed packets.
+        Shared by the single-blob fast path and the managed 15-blob
+        pass (which feeds interpolated post ladders and per-blob
+        coupling thresholds/lowpass)."""
         fe = self.fe
         ctx = self.ctx
         ch = self.ch
-        md, logmdct, mask = ctx.analysis.full_mask(flat, wid)
-        posts, used = ctx.floor(logmdct, mask)
         codes, qposts = self._floor_wrap(posts, used)
         curve = ctx.floor.render(qposts, ctx.fromdB)
+        if lowpass is not None:
+            # per-frame sliding lowpass: zero residues above the
+            # blob's bin limit (psy.c:5126-5131)
+            bins = jnp.arange(md.shape[-1], dtype=jnp.int32)
+            lpmask = bins[None, :] < lowpass[:, None]
+            md = jnp.where(lpmask, md, f32(0.0))
         if self.res_type == 2:
-            out2, any_used = self._couple_quantize(md, curve, used, F)
+            out2, any_used = self._couple_quantize(
+                md, curve, used, F, thr1=thr1, threv=threv,
+                inlimit=inlimit)
             # interleave the coupled pair: flat[i] = out2[:, i%2, i//2]
             inter = out2.transpose(0, 2, 1).reshape(F, -1)
             pw = self._classify2(jnp.abs(out2[:, 0]),

@@ -206,17 +206,21 @@ class DeviceAnalysis:
         self.j1, self.j2 = j1, j2
         self.noisecompand = jnp.asarray(
             np.asarray(look.vi["noisecompand"], np.float32))
-        self.noiseoffset = jnp.asarray(np.asarray(look.noiseoffset[1],
-                                                  np.float32)[:n2])
+        self.noiseoffsets = jnp.asarray(
+            np.asarray(look.noiseoffset, np.float32)[:, :n2])
+        self.noiseoffset = self.noiseoffsets[1]
         self.ath = jnp.asarray(np.asarray(look.ath, np.float32))
         self.noisemaxsupp = f32(look.vi["noisemaxsupp"])
-        self.toneatt1 = f32(look.vi["tone_masteratt"][1])
+        self.toneatts = [f32(a) for a in look.vi["tone_masteratt"]]
+        self.toneatt1 = self.toneatts[1]
         self.tonemask = DeviceToneMask(look)
 
-    def __call__(self, frames, wid=None):
+    def __call__(self, frames, wid=None, base=False):
         """frames: (..., n) f32 PCM -> (mdct, logmdct, noise_mask).
         wid: optional per-frame window-shape id (lW*2+nW) for the
-        long-block switching path."""
+        long-block switching path.  base=True returns the noise curve
+        WITHOUT the offset_select row (managed-mask mixing adds its
+        own per-select noiseoffset)."""
         n, n2 = self.n, self.n2
         if wid is None:
             w = frames * self.window
@@ -239,16 +243,30 @@ class DeviceAnalysis:
         # companding (lib/psy.c: dB = logmask+.5 int index)
         dB = jnp.clip((mask2 + f32(0.5)).astype(jnp.int32),
                       0, PSY.NOISE_COMPAND_LEVELS - 1)
-        noise = (work + jnp.take(self.noisecompand, dB)
-                 + self.noiseoffset)
-        return md, logmdct, noise
+        noise = work + jnp.take(self.noisecompand, dB)
+        if base:
+            return md, logmdct, noise
+        return md, logmdct, noise + self.noiseoffset
 
     def full_mask(self, frames, wid=None):
         """Complete fast-path masking chain: MDCT + FFT spectra, noise
         fit, tone seeding, and the stateless _vp_offset_and_mix core
         (offset_select=1 path without the M3/M4 history terms).
         Returns (mdct, logmdct, final_mask)."""
-        md, logmdct, noise = self(frames, wid)
+        md, logmdct, noise, tone = self.mask_components(frames, wid)
+        val = jnp.minimum(noise + self.noiseoffsets[1],
+                          self.noisemaxsupp)
+        tval = tone + self.toneatt1
+        return md, logmdct, jnp.maximum(val, tval)
+
+    def mask_components(self, frames, wid=None):
+        """(mdct, logmdct, noise_base, tone): noise_base EXCLUDES the
+        per-offset noiseoffset row so the managed encode can mix the
+        three offset_select variants (reference: _vp_offset_and_mix
+        under bit management computes masks 0/1/2 from the same noise
+        and tone curves with per-select noiseoffset/tone_masteratt,
+        mapping0.c:1090-1181)."""
+        md, logmdct, noise = self(frames, wid, base=True)
         n = self.n
         if wid is None:
             w = frames * self.window
@@ -265,9 +283,19 @@ class DeviceAnalysis:
         local_max = jnp.minimum(jnp.max(logfft, axis=-1), 0.0)
         global_max = local_max  # stateless: no cross-block ampmax decay
         tone = self.tonemask(logfft, global_max, local_max)
-        val = jnp.minimum(noise, self.noisemaxsupp)
-        tval = tone + self.toneatt1
-        return md, logmdct, jnp.maximum(val, tval)
+        return md, logmdct, noise, tone
+
+    def managed_masks(self, frames, wid=None):
+        """(mdct, logmdct, masks (..., 3, n2)): the three
+        offset_select mask variants that anchor the 15 packetblob
+        interpolation ladder (reference: mapping0.c:1090-1181)."""
+        md, logmdct, noise, tone = self.mask_components(frames, wid)
+        masks = []
+        for k in range(3):
+            val = jnp.minimum(noise + self.noiseoffsets[k],
+                              self.noisemaxsupp)
+            masks.append(jnp.maximum(val, tone + self.toneatts[k]))
+        return md, logmdct, jnp.stack(masks, axis=-2)
 
 
 class DeviceToneMask:
@@ -499,9 +527,16 @@ class DeviceEnvelope:
     def marks(self, x):
         """x: (ch, S) f32 PCM (S multiple of 64) -> (S//64 - 1,) bool
         mark flags, one per 64-sample search window."""
-        ch, S = x.shape
-        x64 = x.reshape(ch, S // 64, 64)
-        frames = jnp.concatenate([x64[:, :-1], x64[:, 1:]], -1)
+        return self.marks_nd(x[:, None, :])[0]
+
+    def marks_nd(self, x):
+        """Batched variant: x (ch, NC, S) -> (NC, S//64 - 1) bool.
+        The chunk axis lets one dispatch cover every envelope window
+        of a whole batch of streams (encode_batch)."""
+        ch, NC, S = x.shape
+        x64 = x.reshape(ch, NC, S // 64, 64)
+        frames = jnp.concatenate([x64[..., :-1, :], x64[..., 1:, :]],
+                                 -1)
         # 128-pt MDCT as one MXU matmul — the butterfly lowering's
         # per-stage gathers dominate at this tiny n with a huge batch
         vec = mdct_matmul(frames * self.mdct_win, 128)
@@ -511,7 +546,7 @@ class DeviceEnvelope:
         cs = jnp.cumsum(temp, axis=-1)
         w = self.neardc + 1
         win = cs - jnp.concatenate(
-            [jnp.zeros((ch, w)), cs[:, :-w]], -1)
+            [jnp.zeros(cs.shape[:-1] + (w,)), cs[..., :-w]], -1)
         decay = todB(win * f32(1.0 / w), xp=jnp) * f32(0.5) - f32(15.0)
         pairs = (vec[..., 0::2] * vec[..., 0::2]
                  + vec[..., 1::2] * vec[..., 1::2])[..., :32]
@@ -519,21 +554,24 @@ class DeviceEnvelope:
         d = decay[..., None] - f32(8.0) * kk
         sp = jnp.maximum(jnp.maximum(
             todB(pairs, xp=jnp) * f32(0.5), d), self.minV)
-        acc = jnp.einsum("csk,kb->csb", sp, self.Bm)   # (ch, steps, 12)
+        acc = jnp.einsum("cnsk,kb->cnsb", sp, self.Bm)  # (ch,NC,st,12)
         prev = jnp.concatenate(
-            [jnp.full_like(acc[:, :1], -99999.0), acc[:, :-1]], 1)
+            [jnp.full_like(acc[:, :, :1], -99999.0), acc[:, :, :-1]], 2)
         postmax = jnp.maximum(acc, prev)
         postmin = jnp.minimum(acc, prev)
         premax = jnp.full_like(acc, -99999.0)
         premin = jnp.full_like(acc, 99999.0)
         for s in range(2, 2 + self.stretch):
             sh = jnp.concatenate(
-                [jnp.full_like(acc[:, :s], -99999.0), acc[:, :-s]], 1)
+                [jnp.full_like(acc[:, :, :s], -99999.0),
+                 acc[:, :, :-s]], 2)
             premax = jnp.maximum(premax, sh)
             premin = jnp.minimum(premin, jnp.where(
                 sh <= -99998.0, 99999.0, sh))
         trig1 = ((postmax - premax) > self.pre_thr).any(-1).any(0)
         trig2 = ((postmin - premin) < self.post_thr).any(-1).any(0)
-        t1p = jnp.concatenate([jnp.zeros(1, bool), trig1[:-1]])
-        t2n = jnp.concatenate([trig2[1:], jnp.zeros(1, bool)])
+        t1p = jnp.concatenate(
+            [jnp.zeros((NC, 1), bool), trig1[:, :-1]], 1)
+        t2n = jnp.concatenate(
+            [trig2[:, 1:], jnp.zeros((NC, 1), bool)], 1)
         return trig1 | t1p | trig2 | t2n
