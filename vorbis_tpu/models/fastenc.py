@@ -65,6 +65,7 @@ class _ShortCtx:
                              if m.blockflag == 0)
         minfo = vi.modes[self.mode_idx]
         mapping = vi.maps[minfo.mapping]
+        self.mapping = mapping
         # impulse psy params (blocktype 0) for every short block; the
         # golden path distinguishes impulse/padding
         self.analysis = DeviceAnalysis(fe.setup, blocktype=0,
@@ -88,6 +89,7 @@ class _ShortCtx:
             thresh=float(pv.get("normal_thresh", 9999.0)))
         if self.res_type == 2:
             self.couple = _couple_params(fe.setup, 0, 0, self.n // 2)
+            self.couple["tonefix_end"] = self.analysis.look.tonefix_end
 
 
 def _couple_params(setup, blocktype, blockflag, n2, blob=7):
@@ -102,35 +104,56 @@ def _couple_params(setup, blocktype, blockflag, n2, blob=7):
     stX = t["stereo_threshholds_X"]
     prepoint = np.float32(st[g["coupling_prepointamp"][blob]])
     postpoint = np.float32(st[g["coupling_postpointamp"][blob]])
+    prepoint_x = np.float32(stX[g["coupling_prepointamp"][blob]])
+    postpoint_x = np.float32(stX[g["coupling_postpointamp"][blob]])
+    if prepoint_x < prepoint:
+        prepoint_x = prepoint
+    if postpoint_x < prepoint:
+        postpoint_x = prepoint
     limit = int(g["coupling_pointlimit"][blockflag][blob])
     partition = int(pv["normal_partition"]) if pv["normal_p"] else 16
-    # per-bin lossless threshold profile: prepoint below the point
-    # limit, a linear ramp across the partition containing it, then
-    # postpoint (flag_lossless's ps interpolation)
-    thr = np.full(n2, postpoint, np.float32)
-    p0 = (limit // partition) * partition
-    thr[:p0] = prepoint
-    if p0 < n2:
-        jn = min(partition, n2 - p0)
-        ps1 = np.float32((postpoint - prepoint) / np.float32(jn))
-        ramp = prepoint + ps1 * np.arange(1, jn + 1, dtype=np.float32)
-        thr[p0:p0 + jn] = ramp
+
+    def profile(pre, post):
+        """per-bin threshold: pre below the point limit, a linear ramp
+        across the partition containing it, then post (flag_lossless's
+        ps interpolation)."""
+        thr = np.full(n2, post, np.float32)
+        p0 = (limit // partition) * partition
+        thr[:p0] = pre
+        if p0 < n2:
+            jn = min(partition, n2 - p0)
+            ps1 = np.float32((post - pre) / np.float32(jn))
+            ramp = pre + ps1 * np.arange(1, jn + 1, dtype=np.float32)
+            thr[p0:p0 + jn] = ramp
+        return thr
+
+    thr = profile(prepoint, postpoint)
+    thr2 = profile(prepoint_x, postpoint_x)
     threv = np.where(np.arange(n2) < limit,
                      np.float32(0.18), np.float32(0.12)).astype(np.float32)
-    return dict(thr1=thr, threv=threv, limit=limit,
+    return dict(thr1=thr, thr2=thr2, prepoint=float(prepoint),
+                threv=threv, limit=limit,
                 partition=partition,
+                tonefix_end=0,
                 normal_thresh=float(pv.get("normal_thresh", 9999.0)))
 
 
 class FastEncoder:
     def __init__(self, ch: int, rate: int, quality: float = 0.5,
                  switching: bool = True, coupling: bool | None = None,
-                 bitrate: tuple | None = None):
+                 bitrate: tuple | None = None, psy_state: bool = True):
         """bitrate=(max_bps, nominal_bps, min_bps) selects managed
         (ABR/CBR) mode: the encode runs the 15-packetblob device pass
         and the host reservoir floater picks each packet
         (ops/managed.py; reference lib/bitrate.c).  Otherwise
-        unmanaged VBR at `quality`."""
+        unmanaged VBR at `quality`.
+
+        psy_state=True (default) threads the reference's cross-frame
+        psychoacoustic state through the batched pipeline — ampmax
+        decay, lastmdct (M9/M3), the M5 compand latch, M2 post-echo,
+        M3 impulse-noise control, M7 ntfix, M6 lossless promotion and
+        the M8 noise-normalize budgets (ops/psydevice).  False selects
+        the round-2 stateless single-pass pipeline."""
         self.managed = bitrate is not None
         if self.managed:
             mx, nom, mn = bitrate
@@ -138,7 +161,10 @@ class FastEncoder:
         else:
             b = encsetup.setup_vbr_staged(ch, rate, quality)
         if coupling is None:
-            coupling = ch == 2
+            # couple wherever the reference templates do: stereo and
+            # the 5.1 layouts (setup_44p51); other channel counts have
+            # no coupled template
+            coupling = ch in (2, 6)
         if not coupling:
             b.ctl_coupling_set(False)
         self.setup = b.init()
@@ -186,10 +212,12 @@ class FastEncoder:
             start=int(pv["normal_start"]),
             thresh=float(pv.get("normal_thresh", 9999.0)))
         if self.res_type == 2:
-            assert ch == 2 and self.mapping.coupling_steps == 1, \
-                "fast coupled path covers single-step stereo"
+            # coupled layouts: single-step stereo AND the multi-step
+            # multi-submap 5.1 templates (DeviceFastEncode builds the
+            # general per-submap configs from the mapping)
             self.couple = _couple_params(
                 self.setup, self.blocktype, self.W_main, n2)
+            self.couple["tonefix_end"] = self.analysis.look.tonefix_end
         self._step = jax.jit(self._device_step)
         # fixed device batch (frames) — one compiled shape for any
         # input length; ~24s of stereo per chunk at n=2048
@@ -208,6 +236,9 @@ class FastEncoder:
         self._dev_gather = None
         self._managed_dev = None
         self._reservoir = None
+        # cross-frame psy state rides the two-phase batched pipeline;
+        # the managed path keeps the stateless 15-blob pass for now
+        self.psy_state = bool(psy_state) and not self.managed
 
     def ctx(self, W: int = 1):
         """Per-mode component bundle; the long ctx is the encoder
@@ -635,6 +666,279 @@ class FastEncoder:
             Wp = W
         return np.asarray(cs, np.int64), np.asarray(Ws, np.int64)
 
+    # -- stateful two-phase pipeline --------------------------------------
+    def _probe_step(self, W, B):
+        if not hasattr(self, "_probe_cache"):
+            self._probe_cache = {}
+        key = (W, B)
+        if key not in self._probe_cache:
+            n2L = self.n // 2
+            self._probe_cache[key] = jax.jit(
+                self._dev_for(W).make_probe_step(B, n2L))
+        return self._probe_cache[key]
+
+    def _finish_step(self, W, B, wb=None):
+        if not hasattr(self, "_finish_cache"):
+            self._finish_cache = {}
+        key = (W, B, wb)
+        if key not in self._finish_cache:
+            self._finish_cache[key] = jax.jit(
+                self._dev_for(W).make_finish_step(B, wb))
+        return self._finish_cache[key]
+
+    @staticmethod
+    def _pad_to(a, B, fill=0):
+        if len(a) >= B:
+            return np.asarray(a)
+        return np.concatenate(
+            [np.asarray(a),
+             np.full((B - len(a),) + np.shape(a)[1:], fill,
+                     np.asarray(a).dtype)])
+
+    def _run_two_phase(self, x64, per, B_long, B_short):
+        """The cross-frame-state encode: probe pass -> host scalar
+        recurrences -> finish pass.  per: per-stream dicts from
+        encode_batch (cs, Ws, impulse, li, si, lofs, sofs, starts,
+        wid).  Returns (pk_l, nb_l, pk_s, nb_s) like the stateless
+        gather runner."""
+        from ..ops import psydevice as PD
+        ch = self.ch
+        n2L = self.n // 2
+        hsrate = self.rate >= 26000
+
+        # --- per-stream annotations + per-frame probe metadata
+        anns = []
+        for rec in per:
+            ann = PD.annotate_frames(rec["Ws"], rec["impulse"])
+            anns.append(ann)
+            rec["ann"] = ann
+        # lmode per frame: how THIS frame's logmdct resamples into its
+        # successor's lastmdct (psy.c:4462-4501)
+        gl_lm, gs_lm = [], []
+        gl_tr = []
+        for rec, ann in zip(per, anns):
+            Ws = rec["Ws"]
+            lmode = np.where(Ws == 1, np.where(ann["nW"] == 0, 2, 0),
+                             np.where(ann["nW"] == 1, 1, 0))
+            gl_lm.append(lmode[rec["li"]])
+            gs_lm.append(lmode[rec["si"]])
+            gl_tr.append(ann["bm"][rec["li"]] == 2)
+        cat = (lambda lst, dt: np.concatenate(lst).astype(dt)
+               if lst else np.zeros(0, dt))
+        lm_l = cat(gl_lm, np.int32)
+        lm_s = cat(gs_lm, np.int32)
+        tr_l = cat(gl_tr, bool)
+
+        # --- phase A: probe all batches (longs then shorts)
+        def run_probe(W, starts, wids, lmodes, B):
+            devW = self._dev_for(W)
+            step = self._probe_step(W, B)
+            outs = []
+            F = len(starts)
+            for b in range(0, max(F, 1), B):
+                sl = self._pad_to(starts[b:b + B], B)
+                wd = self._pad_to(
+                    wids[b:b + B] if wids is not None
+                    else np.zeros(min(B, max(F - b, 1)), np.int64),
+                    B, 3)
+                lmd = self._pad_to(lmodes[b:b + B], B)
+                o = step(x64, jnp.asarray(sl.astype(np.int32)),
+                         jnp.asarray(wd.astype(np.int32)),
+                         jnp.asarray(lmd.astype(np.int32)))
+                for a in o[6:]:
+                    a.copy_to_host_async()
+                outs.append(o)
+            return outs
+
+        st_l = np.concatenate([r["starts"][r["li"]] for r in per]) \
+            if any(len(r["li"]) for r in per) else np.zeros(0, np.int64)
+        wd_l = np.concatenate([r["wid"][r["li"]] for r in per]) \
+            if any(len(r["li"]) for r in per) else None
+        st_s = np.concatenate([r["starts"][r["si"]] for r in per]) \
+            if any(len(r["si"]) for r in per) else np.zeros(0, np.int64)
+        pa_l = run_probe(1, st_l, wd_l, lm_l, B_long)
+        pa_s = run_probe(0, st_s, None, lm_s, B_short) if len(st_s) \
+            else []
+
+        # --- host mid-pass: scalar recurrences in stream order
+        def fetch(outs, idx):
+            if not outs:
+                return np.zeros(0, np.float32)
+            return np.concatenate([np.asarray(o[idx]) for o in outs])
+
+        lam_l, hi_l = fetch(pa_l, 6), fetch(pa_l, 7)
+        up_l, un_l = fetch(pa_l, 8), fetch(pa_l, 9)
+        lam_s = fetch(pa_s, 6)
+        nlong = len(st_l)
+        nshort = len(st_s)
+        NLrows = len(pa_l) * B_long * ch
+        zrow = NLrows + len(pa_s) * B_short * ch
+
+        look_mnt = []
+        for bt in range(4):
+            bi = min(bt, len(self.setup.psy_params) - 1)
+            pv = self.setup.psy_params[bi]
+            mv = self.analysis.look.m_val
+            look_mnt.append((mv, float(pv.get("normal_thresh", 1.0))))
+
+        amp_l = np.full(nlong, -9999.0, np.float32)
+        amp_s = np.full(nshort, -9999.0, np.float32)
+        lc_l = np.full(nlong * ch, -1.0, np.float32)
+        lc_s = np.full(nshort * ch, -1.0, np.float32)
+        po_l = np.full(nlong * ch, -1.0, np.float32)
+        prev_l = np.full(nlong * ch, zrow, np.int64)
+        prev_s = np.full(nshort * ch, zrow, np.int64)
+        m3_fields = dict(sw=np.zeros(nshort, bool),
+                         noise_rate=np.zeros(nshort, np.float32),
+                         noise_center=np.zeros(nshort, np.float32),
+                         tone_rate=np.zeros(nshort, np.float32),
+                         reset=np.zeros(nshort, bool),
+                         impad_zero=np.ones(nshort, bool))
+        toneatt1 = float(self.analysis.look.vi["tone_masteratt"][1])
+
+        for rec, ann in zip(per, anns):
+            li, si = rec["li"], rec["si"]
+            lofs, sofs = rec["lofs"], rec["sofs"]
+            F = len(rec["Ws"])
+            # global row index per (frame, ch)
+            rowf = np.empty((F, ch), np.int64)
+            gl = lofs + np.arange(len(li))
+            gs = sofs + np.arange(len(si))
+            for c in range(ch):
+                rowf[li, c] = gl * ch + c
+                rowf[si, c] = NLrows + gs * ch + c
+            prev = np.concatenate([[[zrow] * ch], rowf[:-1]])
+            for c in range(ch):
+                prev_l[gl * ch + c] = prev[li, c]
+                prev_s[gs * ch + c] = prev[si, c]
+            # lam per frame = max over channels
+            lamf = np.empty(F, np.float32)
+            lamf[li] = np.max(
+                lam_l[(gl * ch)[:, None] + np.arange(ch)], -1) \
+                if len(li) else 0
+            if len(si):
+                lamf[si] = np.max(
+                    lam_s[(gs * ch)[:, None] + np.arange(ch)], -1)
+            amp = PD.ampmax_seq(lamf, rec["Ws"], self.vi.blocksizes,
+                                self.rate,
+                                self.setup.psy_global
+                                ["ampmax_att_per_sec"])
+            amp_l[gl] = amp[li]
+            amp_s[gs] = amp[si]
+            # M5 latch + M2 poste per channel (long rows carry them)
+            for c in range(ch):
+                hi = np.zeros(F, np.float32)
+                hi[li] = hi_l[gl * ch + c] if len(li) else 0
+                lc = PD.lowcomp_seq(hi, ann, look_mnt)
+                lc_l[gl * ch + c] = lc[li]
+                lc_s[gs * ch + c] = lc[si]
+                up = np.zeros(F, np.float32)
+                un = np.zeros(F, np.float32)
+                up[li] = up_l[gl * ch + c] if len(li) else 0
+                un[li] = un_l[gl * ch + c] if len(li) else 0
+                po = PD.poste_seq(up, un, ann, self.n)
+                po_l[gl * ch + c] = po[li]
+            # M3 params for this stream's short frames
+            if len(si) and hsrate:
+                sub = {k: v[si] for k, v in ann.items()}
+                pr = PD.m3_param_seq(sub, self.vi.blocksizes[0] // 2,
+                                     toneatt1, True)
+                m3_fields["sw"][gs] = pr["sw"]
+                m3_fields["noise_rate"][gs] = pr["noise_rate"]
+                m3_fields["noise_center"][gs] = pr["noise_center"]
+                m3_fields["tone_rate"][gs] = pr["tone_rate"]
+                m3_fields["reset"][gs] = pr["reset"]
+                m3_fields["impad_zero"][gs] = \
+                    ann["impadnum"][si] == 0
+
+        # --- the global lastmdct-contribution buffer
+        Ls = [o[5] for o in pa_l] + [o[5] for o in pa_s] \
+            + [jnp.zeros((1, n2L), jnp.float32)]
+        L_all = jnp.concatenate(Ls, 0) if len(Ls) > 1 else Ls[0]
+
+        # --- phase B: finish all batches
+        def run_finish(W, outs, B, amp, lc, po, tr, prevrows, wids,
+                       m3):
+            devW = self._dev_for(W)
+            step = self._finish_step(W, B)
+            wb = devW.plan.wb
+            pend = []
+            for bi, o in enumerate(outs):
+                s = slice(bi * B, (bi + 1) * B)
+                sr = slice(bi * B * ch, (bi + 1) * B * ch)
+                lastm = (jnp.take(L_all, jnp.asarray(
+                    self._pad_to(prevrows[sr], B * ch, zrow)
+                    .astype(np.int32)), axis=0)
+                    if (hsrate and W == 1) or (W == 0 and m3
+                                               is not None)
+                    else jnp.zeros((B * ch, n2L), jnp.float32))
+                m3b = None
+                if W == 0 and m3 is not None:
+                    m3b = {k: jnp.asarray(self._pad_to(v[s], B))
+                           for k, v in m3.items()}
+                wd = self._pad_to(
+                    wids[s] if wids is not None
+                    else np.zeros(B, np.int64), B, 3)
+                pk, nb = step(
+                    o[0], o[1], o[2], o[3], o[4], lastm, o[6],
+                    jnp.asarray(self._pad_to(amp[s], B, -9999.0)),
+                    jnp.asarray(self._pad_to(lc[sr], B * ch, -1.0)),
+                    jnp.asarray(self._pad_to(po[sr], B * ch, -1.0)),
+                    jnp.asarray(self._pad_to(tr[s], B, False)
+                                if tr is not None
+                                else np.zeros(B, bool)),
+                    jnp.asarray(wd.astype(np.int32)), m3b)
+                pk.copy_to_host_async()
+                nb.copy_to_host_async()
+                pend.append((bi, pk, nb, lastm, m3b, wd))
+            # drain + oversized redo
+            pks, nbs = [], []
+            for bi, pk, nb, lastm, m3b, wd in pend:
+                pkb = np.asarray(pk)
+                nbb = np.asarray(nb)
+                if (nbb > wb * 8).any():
+                    big = self._finish_step(W, B,
+                                            devW.plan.worst_bytes)
+                    o = outs[bi]
+                    s = slice(bi * B, (bi + 1) * B)
+                    sr = slice(bi * B * ch, (bi + 1) * B * ch)
+                    pk2, nb2 = big(
+                        o[0], o[1], o[2], o[3], o[4], lastm, o[6],
+                        jnp.asarray(self._pad_to(amp[s], B, -9999.0)),
+                        jnp.asarray(self._pad_to(lc[sr], B * ch,
+                                                 -1.0)),
+                        jnp.asarray(self._pad_to(po[sr], B * ch,
+                                                 -1.0)),
+                        jnp.asarray(self._pad_to(
+                            tr[s], B, False) if tr is not None
+                            else np.zeros(B, bool)),
+                        jnp.asarray(wd.astype(np.int32)), m3b)
+                    pkb = np.asarray(pk2)
+                    nbb = np.asarray(nb2)
+                pks.append(pkb)
+                nbs.append(nbb)
+            if not pks:
+                return (np.zeros((0, wb), np.uint8),
+                        np.zeros(0, np.int64))
+            wmax = max(p.shape[1] for p in pks)
+            pks = [np.pad(p, ((0, 0), (0, wmax - p.shape[1])))
+                   if p.shape[1] < wmax else p for p in pks]
+            F = len(amp)
+            return (np.concatenate(pks)[:F],
+                    np.concatenate(nbs)[:F])
+
+        pk_l, nb_l = run_finish(1, pa_l, B_long, amp_l, lc_l, po_l,
+                                tr_l, prev_l, wd_l, None)
+        if nshort:
+            pk_s, nb_s = run_finish(
+                0, pa_s, B_short, amp_s, lc_s,
+                np.full(nshort * ch, -1.0, np.float32), None, prev_s,
+                None, m3_fields if hsrate else None)
+        else:
+            pk_s = np.zeros((0, 1), np.uint8)
+            nb_s = np.zeros(0, np.int64)
+        return pk_l, nb_l, pk_s, nb_s
+
     def _run_gather_batches(self, W, x64d, starts, wids, B=1024):
         """Run the mode-W gather step over all frames (padded to B per
         dispatch); returns (packets (F, wb) uint8, nbits (F,))."""
@@ -769,25 +1073,36 @@ class FastEncoder:
             wid = (lW * 2 + nW).astype(np.int64)
             li = np.where(Ws == 1)[0]
             si = np.where(Ws == 0)[0]
+            # impulse vs padding for short blocks: any envelope mark
+            # inside the block span (block.c blocktype assignment)
+            mc = np.concatenate([[0], np.cumsum(mk.astype(np.int64))])
+            b0 = np.clip((cs - n0 // 2) // 64, 0, len(mk))
+            e0 = np.clip((cs + n0 // 2 + 63) // 64, 0, len(mk))
+            impulse = (Ws == 0) & (mc[e0] > mc[b0])
             per.append(dict(cs=cs, Ws=Ws, li=li, si=si, ns=ns,
-                            lofs=nlong, sofs=nshort))
+                            lofs=nlong, sofs=nshort, starts=starts,
+                            wid=wid, impulse=impulse))
             gl_st.append(starts[li])
             gl_wd.append(wid[li])
             gs_st.append(starts[si])
             nlong += len(li)
             nshort += len(si)
 
-        # 4) one gather pipeline per block mode, ALL streams batched
-        pk_l, nb_l = self._run_gather_batches(
-            1, x64, np.concatenate(gl_st) if gl_st else
-            np.zeros(0, np.int64),
-            np.concatenate(gl_wd) if gl_wd else None, B=B_long)
-        if nshort:
-            pk_s, nb_s = self._run_gather_batches(
-                0, x64, np.concatenate(gs_st), None, B=B_short)
+        # 4) the batched device pipelines, ALL streams together
+        if self.psy_state:
+            pk_l, nb_l, pk_s, nb_s = self._run_two_phase(
+                x64, per, B_long, B_short)
         else:
-            pk_s = np.zeros((0, 1), np.uint8)
-            nb_s = np.zeros(0, np.int64)
+            pk_l, nb_l = self._run_gather_batches(
+                1, x64, np.concatenate(gl_st) if gl_st else
+                np.zeros(0, np.int64),
+                np.concatenate(gl_wd) if gl_wd else None, B=B_long)
+            if nshort:
+                pk_s, nb_s = self._run_gather_batches(
+                    0, x64, np.concatenate(gs_st), None, B=B_short)
+            else:
+                pk_s = np.zeros((0, 1), np.uint8)
+                nb_s = np.zeros(0, np.int64)
 
         # 5) per-stream Ogg paging
         outs = []
@@ -937,6 +1252,11 @@ class FastEncoder:
         sw = self.switching if switching is None else switching
         if sw:
             return self._encode_switched(pcm, serialno, comments)
+        if self.psy_state:
+            # the stateful pipeline runs through the batch path (an
+            # all-long schedule when switching is off)
+            return self.encode_batch([pcm], [serialno], comments,
+                                     switching=False, B_long=1024)[0]
         is_dev = isinstance(pcm, jax.Array)
         ch, ns = pcm.shape
         assert ch == self.ch

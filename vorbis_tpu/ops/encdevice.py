@@ -235,15 +235,113 @@ class DeviceFastEncode:
         self.hop = self.n // 2
         self.chunk_packets = chunk_packets
         self.chunk_samples = chunk_packets * self.hop + self.hop
-        self._prepare_floor()
-        self._prepare_residue()
-        self._prepare_columns()
+        mapping = getattr(self.ctx, "mapping", None)
+        self.multi = mapping is not None and (
+            mapping.submaps > 1 or mapping.coupling_steps > 1)
+        if self.multi:
+            self._prepare_multi(mapping)
+        else:
+            self._prepare_floor()
+            self._prepare_residue()
+            self._prepare_columns()
         self._step_cache = {}
 
-    # -- static preparation ------------------------------------------------
-    def _prepare_floor(self):
+    def _prepare_multi(self, mapping):
+        """Multi-submap / multi-step coupling layout (e.g. the 5.1
+        templates, reference lib/modes/residue_44p51.h: submap 0 =
+        five coupled channels under res2 with four chained coupling
+        steps, submap 1 = the LFE under res1).  Builds one
+        floor+residue config namespace per submap plus the absolute
+        coupling step list."""
+        from types import SimpleNamespace
+        from .residue_device import DeviceResidueVQ
+        from .floor_pallas import make_floor_fit
         fe = self.fe
-        look = self.ctx.fl_look
+        vi = fe.vi
+        self.mapping = mapping
+        self.coupling = [(mapping.coupling_mag[s],
+                          mapping.coupling_ang[s])
+                         for s in range(mapping.coupling_steps)]
+        self.groups = []
+        for sm in range(mapping.submaps):
+            chans = [c for c in range(self.ch)
+                     if mapping.chmuxlist[c] == sm]
+            assert chans == list(range(chans[0],
+                                       chans[0] + len(chans))), \
+                "submap channels must be contiguous"
+            g = SimpleNamespace()
+            g.channels = chans
+            fl_idx = mapping.floorsubmap[sm]
+            res_idx = mapping.residuesubmap[sm]
+            g.fl_look = fe.enc.floor_looks[fl_idx]
+            g.res_look = fe.enc.residue_looks[res_idx]
+            g.res_type = vi.residue_types[res_idx]
+            g.res_ch = 1 if g.res_type == 2 else len(chans)
+            g.dvq = DeviceResidueVQ(g.res_look.info, g.res_look.books,
+                                    g.res_look.partbooks)
+            if (getattr(self.ctx, "fl_look", None) is g.fl_look
+                    and getattr(self.ctx, "floor", None) is not None):
+                g.floor = self.ctx.floor
+            else:
+                g.floor = make_floor_fit(g.fl_look)
+            self._prepare_floor(look=g.fl_look, tgt=g)
+            self._prepare_residue(look=g.res_look, dvq=g.dvq, tgt=g,
+                                  res_ch=g.res_ch)
+            self.groups.append(g)
+        self._prepare_columns_multi()
+
+    def _prepare_columns_multi(self):
+        """Packet column plan for the multi-submap layout: header,
+        then every channel's floor (its submap's config), then each
+        submap's residue block (mapping0_forward emission order)."""
+        fe = self.fe
+        maxbits = [1, fe.modebits, 1, 1]
+        self._g_fl_ncols = {}
+        for g in self.groups:
+            fl_bits = [1, g.qb, g.qb]
+            for p in g.fl_parts:
+                if p["csubbits"]:
+                    fl_bits.append(int(np.max(p["classbook"].lengths)))
+                for k in range(p["cdim"]):
+                    ml = max((int(np.max(b.lengths))
+                              for b in p["subbooks"] if b is not None),
+                             default=1)
+                    fl_bits.append(max(ml, 1))
+            g.fl_bits = fl_bits
+            g.fl_ncols = len(fl_bits)
+        for c in range(self.ch):
+            g = next(g for g in self.groups if c in g.channels)
+            maxbits.extend(g.fl_bits)
+        for g in self.groups:
+            ph_maxlen = int(g.ph_cl.max())
+            for s in range(g.stages):
+                st = g.stage_tabs[s]
+                ms = st["max_steps"]
+                pos_ml = np.zeros(ms, np.int64)
+                for cc, d in enumerate(g.res_books[s]):
+                    if d is None:
+                        continue
+                    sc = g.spp // d["dim"]
+                    ml = int(np.max(np.asarray(
+                        g.res_look.partbooks[cc][s].lengths)))
+                    pos_ml[:sc] = np.maximum(pos_ml[:sc], ml)
+                pos_ml = np.maximum(pos_ml, 1)
+                for c0 in range(g.nchunks):
+                    if s == 0:
+                        maxbits.extend([ph_maxlen] * g.res_ch)
+                    for _ in range(g.ppw):
+                        for _ in range(g.res_ch):
+                            maxbits.extend(pos_ml.tolist())
+        self.plan = PackPlan.build(maxbits, wb_cap=2048)
+
+    # -- static preparation ------------------------------------------------
+    def _prepare_floor(self, look=None, tgt=None):
+        """Extract one floor config's static tables onto tgt (default:
+        self — the single-submap fast path)."""
+        fe = self.fe
+        tgt = tgt if tgt is not None else self
+        look = look if look is not None else self.ctx.fl_look
+        self = tgt
         info = look.info
         self.fl = look
         self.P = look.posts
@@ -271,9 +369,19 @@ class DeviceFastEncode:
                 cls=cls, cdim=cdim, csubbits=csubbits, csub=csub,
                 maxval=maxval, classbook=cb, subbooks=subbooks))
 
-    def _prepare_residue(self):
+    def _prepare_residue(self, look=None, dvq=None, tgt=None,
+                         res_ch=None):
+        """Extract one residue config's static tables onto tgt
+        (default: self)."""
         fe = self.fe
-        look = self.ctx.res_look
+        tgt = tgt if tgt is not None else self
+        look = look if look is not None else self.ctx.res_look
+        dvq = dvq if dvq is not None else self.ctx.dvq
+        self = tgt
+        self.res_look_ = look
+        self.dvq_ = dvq
+        if res_ch is not None:
+            self.res_ch = res_ch
         info = look.info
         self.ri = info
         self.spp = info.grouping
@@ -291,8 +399,8 @@ class DeviceFastEncode:
         for s in range(self.stages):
             row = []
             for c in range(self.possible):
-                b = (self.ctx.dvq.books[c][s]
-                     if s < len(self.ctx.dvq.books[c]) else None)
+                b = (dvq.books[c][s]
+                     if s < len(dvq.books[c]) else None)
                 if b is None or not (self.sec[c] >> s) & 1:
                     row.append(None)
                     continue
@@ -338,7 +446,7 @@ class DeviceFastEncode:
             for c, d in enumerate(self.res_books[s]):
                 if d is None:
                     continue
-                bk = self.ctx.res_look.partbooks[c][s]
+                bk = look.partbooks[c][s]
                 cw[c, :d["entries"]] = np.asarray(bk.codewords,
                                                   np.uint64) \
                     .astype(np.uint32)
@@ -406,14 +514,15 @@ class DeviceFastEncode:
         self.plan = PackPlan.build(maxbits)
 
     # -- device stages -------------------------------------------------------
-    def _floor_wrap(self, posts, used):
+    def _floor_wrap(self, posts, used, cfg=None):
+        cfg = cfg if cfg is not None else self
         """Raw fit posts (B, P) -> (codes (B, P), qposts (B, P)) — the
         floor1_encode quantization + predictive wrap coding
         (floor1.c:774-935), vectorized over frames."""
-        P = self.P
+        P = cfg.P
         post = posts.astype(jnp.int32)
         val = post & 0x7FFF
-        m = self.mult
+        m = cfg.mult
         val = (val >> 2 if m == 1 else val >> 3 if m == 2
                else val // 12 if m == 3 else val >> 4)
         post = val | (post & 0x8000)
@@ -421,16 +530,16 @@ class DeviceFastEncode:
         out1 = post[:, 1] & 0x7FFF
         outs = [out0, out1]
         cols = [post[:, i] for i in range(P)]
-        qq = self.quant_q
+        qq = cfg.quant_q
         for i in range(2, P):
-            ln = int(self.lo_static[i - 2])
-            hn = int(self.hi_static[i - 2])
+            ln = int(cfg.lo_static[i - 2])
+            hn = int(cfg.hi_static[i - 2])
             y0 = cols[ln] & 0x7FFF
             y1 = cols[hn] & 0x7FFF
             dy = y1 - y0
-            adx = int(self.postlist[hn] - self.postlist[ln])
-            err = jnp.abs(dy) * int(self.postlist[i]
-                                    - self.postlist[ln])
+            adx = int(cfg.postlist[hn] - cfg.postlist[ln])
+            err = jnp.abs(dy) * int(cfg.postlist[i]
+                                    - cfg.postlist[ln])
             offp = err // adx
             predicted = jnp.where(dy < 0, y0 - offp, y0 + offp)
             flag = ((cols[i] & 0x8000) != 0) | (predicted == cols[i])
@@ -449,17 +558,18 @@ class DeviceFastEncode:
         qposts = jnp.stack(cols, 1)
         return codes, qposts
 
-    def _floor_fields(self, codes, used):
+    def _floor_fields(self, codes, used, cfg=None):
+        cfg = cfg if cfg is not None else self
         """codes (B, P) + used (B,) -> (vals (B, FC) uint32,
         lens (B, FC) int32) for one batch of channels."""
         B = codes.shape[0]
         vals = [jnp.where(used, jnp.uint32(1), jnp.uint32(0))]
         lens = [jnp.ones((B,), jnp.int32)]
-        qbl = jnp.where(used, jnp.int32(self.qb), 0)
+        qbl = jnp.where(used, jnp.int32(cfg.qb), 0)
         vals += [_u32(codes[:, 0]), _u32(codes[:, 1])]
         lens += [qbl, qbl]
         j = 2
-        for p in self.fl_parts:
+        for p in cfg.fl_parts:
             cdim = p["cdim"]
             seg = codes[:, j:j + cdim]                 # (B, cdim)
             mv = jnp.asarray(p["maxval"].astype(np.int32))
@@ -500,56 +610,58 @@ class DeviceFastEncode:
             j += cdim
         return jnp.stack(vals, 1), jnp.stack(lens, 1)
 
-    def _classify(self, res):
+    def _classify(self, res, cfg=None):
+        cfg = cfg if cfg is not None else self
         """res (B, n) float (already rint'ed) -> partword
         (B, partvals) int32 (res01_class)."""
-        ri = self.ri
-        spp = self.spp
-        need = ri.begin + self.partvals * spp
+        ri = cfg.ri
+        spp = cfg.spp
+        need = ri.begin + cfg.partvals * spp
         if need > res.shape[-1]:
             pad = jnp.zeros(res.shape[:-1]
                             + (need - res.shape[-1],), res.dtype)
             res = jnp.concatenate([res, pad], -1)
         seg = jnp.abs(res[..., ri.begin:need].astype(jnp.int32)) \
-            .reshape(res.shape[:-1] + (self.partvals, spp))
+            .reshape(res.shape[:-1] + (cfg.partvals, spp))
         mx = seg.max(-1)
         scale = f32(f32(100.0) / f32(spp))
         ent = (seg.sum(-1).astype(jnp.float32) * scale) \
             .astype(jnp.int32)
         cm1 = np.asarray(ri.classmetric1, np.int64)
         cm2 = np.asarray(ri.classmetric2, np.int64)
-        k = jnp.full(mx.shape, self.possible - 1, jnp.int32)
-        for kk in range(self.possible - 2, -1, -1):
+        k = jnp.full(mx.shape, cfg.possible - 1, jnp.int32)
+        for kk in range(cfg.possible - 2, -1, -1):
             okk = (mx <= int(cm1[kk])) & (
                 True if cm2[kk] < 0 else (ent < int(cm2[kk])))
             k = jnp.where(okk, kk, k)
         return k
 
-    def _vq_stages(self, res, pw):
+    def _vq_stages(self, res, pw, cfg=None):
+        cfg = cfg if cfg is not None else self
         """res (B, n) float residuals, pw (B, partvals) -> per stage
         entries (B, partvals, max_steps) int32 (-1 where inactive).
         Pure elementwise zigzag-lattice math (res0.c _encodepart with
         the lattice fast path; value reconstruction is delta*zz(m))."""
-        spp = self.spp
-        need = self.ri.begin + self.partvals * spp
+        spp = cfg.spp
+        need = cfg.ri.begin + cfg.partvals * spp
         if need > res.shape[-1]:
             pad = jnp.zeros(res.shape[:-1]
                             + (need - res.shape[-1],), res.dtype)
             res = jnp.concatenate([res, pad], -1)
-        work = res[..., self.ri.begin:need].astype(jnp.float32) \
-            .reshape(res.shape[:-1] + (self.partvals, spp))
+        work = res[..., cfg.ri.begin:need].astype(jnp.float32) \
+            .reshape(res.shape[:-1] + (cfg.partvals, spp))
         out = []
-        for s in range(self.stages):
-            st = self.stage_tabs[s]
+        for s in range(cfg.stages):
+            st = cfg.stage_tabs[s]
             ents = jnp.full(work.shape[:-1] + (st["max_steps"],), -1,
                             jnp.int32)
             new_work = work
-            dims = sorted({d["dim"] for d in self.res_books[s]
+            dims = sorted({d["dim"] for d in cfg.res_books[s]
                            if d is not None})
             for dim in dims:
                 steps = spp // dim
                 a = work.reshape(work.shape[:-1] + (steps, dim))
-                classes = [c for c, d in enumerate(self.res_books[s])
+                classes = [c for c, d in enumerate(cfg.res_books[s])
                            if d is not None and d["dim"] == dim]
                 # per-partition scalar params via where-ladder
                 mvv = jnp.zeros(pw.shape, jnp.float32)
@@ -558,7 +670,7 @@ class DeviceFastEncode:
                 qvv = jnp.ones(pw.shape, jnp.int32)
                 act = jnp.zeros(pw.shape, bool)
                 for c in classes:
-                    d = self.res_books[s][c]
+                    d = cfg.res_books[s][c]
                     selc = pw == c
                     mvv = jnp.where(selc, f32(d["minval"]), mvv)
                     dl = jnp.where(selc, f32(d["delta"]), dl)
@@ -595,7 +707,7 @@ class DeviceFastEncode:
                 mdig = m
                 # non-identity remaps (unused lattice entries)
                 for c in classes:
-                    d = self.res_books[s][c]
+                    d = cfg.res_books[s][c]
                     if d["ident"]:
                         continue
                     rd = onehot_remap(idx, d["remap_digits"], dim)
@@ -617,27 +729,28 @@ class DeviceFastEncode:
             out.append(ents)
         return out
 
-    def _residue_fields(self, pw, entries, used):
+    def _residue_fields(self, pw, entries, used, cfg=None):
+        cfg = cfg if cfg is not None else self
         """pw (F, ch, partvals), entries per stage
         (F, ch, partvals, max_steps), used (F, ch) -> (vals, lens)
         (F, RC) in res01_forward emission order."""
         F = pw.shape[0]
-        ch = self.res_ch
-        ppw = self.ppw
-        nck = self.nchunks
+        ch = cfg.res_ch
+        ppw = cfg.ppw
+        nck = cfg.nchunks
         vals_blocks = []
         lens_blocks = []
         pwp = jnp.concatenate(
-            [pw, jnp.zeros((F, ch, self.parts_pad - self.partvals),
+            [pw, jnp.zeros((F, ch, cfg.parts_pad - cfg.partvals),
                            jnp.int32)], -1) \
-            if self.parts_pad != self.partvals else pw
-        for s in range(self.stages):
-            st = self.stage_tabs[s]
+            if cfg.parts_pad != cfg.partvals else pw
+        for s in range(cfg.stages):
+            st = cfg.stage_tabs[s]
             ms = st["max_steps"]
             # entry codewords via one-hot matmul
             e = entries[s]
             ent_act = e >= 0
-            secb = jnp.asarray(self.sec.astype(np.int32))
+            secb = jnp.asarray(cfg.sec.astype(np.int32))
             act = (((jnp.take(secb, pw, axis=0) >> s) & 1) == 1) \
                 & used[..., None]
             stepst = jnp.asarray(st["steps"].astype(np.int32))
@@ -650,8 +763,8 @@ class DeviceFastEncode:
                 st["cw"], st["cl"])
             el = jnp.where(inr, el, 0)
             # pad partitions to nchunks*ppw
-            if self.parts_pad != self.partvals:
-                padn = self.parts_pad - self.partvals
+            if cfg.parts_pad != cfg.partvals:
+                padn = cfg.parts_pad - cfg.partvals
                 ev = jnp.concatenate(
                     [ev, jnp.zeros((F, ch, padn, ms), U32)], 2)
                 el = jnp.concatenate(
@@ -665,13 +778,13 @@ class DeviceFastEncode:
                 # phrase words: digit-pack ppw partwords, MSB first
                 ph_v = jnp.zeros((F, ch, nck), jnp.int32)
                 for k in range(ppw):
-                    ph_v = ph_v * self.possible \
+                    ph_v = ph_v * cfg.possible \
                         + pwp[..., k::ppw][..., :nck]
-                ph_ok = (ph_v < self.phrasebook.entries) \
+                ph_ok = (ph_v < cfg.phrasebook.entries) \
                     & used[..., None]
                 ph_idx = jnp.where(ph_ok, ph_v, 0)
-                cwt = jnp.asarray(self.ph_cw)
-                clt = jnp.asarray(self.ph_cl)
+                cwt = jnp.asarray(cfg.ph_cw)
+                clt = jnp.asarray(cfg.ph_cl)
                 ph_cw = jnp.take(cwt, ph_idx, axis=0)
                 ph_cl = jnp.where(ph_ok,
                                   jnp.take(clt, ph_idx, axis=0), 0)
@@ -694,34 +807,93 @@ class DeviceFastEncode:
 
 
     # -- channel coupling (res2 / coupled stereo) ---------------------------
-    def _classify2(self, absM, absA):
+    def _classify2(self, absM, absA, cfg=None, nch=2):
         """res2 classification (_2class, res0.c:473): per interleaved
-        partition, magnitude-channel max and angle-channel max walk
-        the classmetric thresholds.  absM/absA: (F, n2) abs ints."""
-        ri = self.ri
-        spp = self.spp
-        per = spp // 2
-        b0 = ri.begin // 2
-        need = b0 + self.partvals * per
+        partition, the magnitude channel's max and the angle channels'
+        max walk the classmetric thresholds.  absM: (F, n2) channel-0
+        abs ints; absA: (F, n2) the elementwise max over the other
+        channels."""
+        cfg = cfg if cfg is not None else self
+        ri = cfg.ri
+        spp = cfg.spp
+        per = spp // nch
+        b0 = ri.begin // nch
+        need = b0 + cfg.partvals * per
         def seg(x):
             if need > x.shape[-1]:
                 x = jnp.concatenate(
                     [x, jnp.zeros(x.shape[:-1] + (need - x.shape[-1],),
                                   x.dtype)], -1)
             return x[..., b0:need].reshape(
-                x.shape[:-1] + (self.partvals, per))
+                x.shape[:-1] + (cfg.partvals, per))
         magmax = seg(absM).max(-1)
         angmax = seg(absA).max(-1)
-        cm1 = np.asarray(self.ri.classmetric1, np.int64)
-        cm2 = np.asarray(self.ri.classmetric2, np.int64)
-        k = jnp.full(magmax.shape, self.possible - 1, jnp.int32)
-        for kk in range(self.possible - 2, -1, -1):
+        cm1 = np.asarray(ri.classmetric1, np.int64)
+        cm2 = np.asarray(ri.classmetric2, np.int64)
+        k = jnp.full(magmax.shape, cfg.possible - 1, jnp.int32)
+        for kk in range(cfg.possible - 2, -1, -1):
             ok = (magmax <= int(cm1[kk])) & (angmax <= int(cm2[kk]))
             k = jnp.where(ok, kk, k)
         return k
 
+    def _m6_promote(self, rM, rA, reM, reA, flagm1, F, prae=0.34,
+                    couple=None):
+        """aoTuV M6 dynamic lossless promotion (psy.c:5007-5047), one
+        coupling step: per partition below tonefix_end, count
+        sign-opposed vs parallel active bins and the mean |res|
+        imbalance; an EMA of the imbalance across partitions (the
+        side_resdef carry, a small lax.scan) promotes flag==-1 bins to
+        lossless when the imbalance exceeds 1 or the opposed fraction
+        exceeds prae (0.34 single-step, 0.825 multi-step).
+        rM/rA: the pair's current residue values (F, n2); reM/reA the
+        signed raw energies; flagm1: (F, n2) bins flagged -1 on either
+        channel.  Returns promoted (F, n2)."""
+        cp = couple if couple is not None else self.ctx.couple
+        tfe = int(cp.get("tonefix_end", 0))
+        n2 = rM.shape[-1]
+        if tfe <= 0:
+            return jnp.zeros((F, n2), bool)
+        part = cp["partition"]
+        npt = (n2 + part - 1) // part
+        padn = npt * part - n2
+        def p4(a):
+            return jnp.pad(a, ((0, 0), (0, padn))) if padn else a
+        active = (jnp.abs(rM) >= 0.5) | (jnp.abs(rA) >= 0.5)
+        opposed = ((reM > 0) & (reA < 0)) | ((reA > 0) & (reM < 0))
+        imb = jnp.abs(jnp.abs(rM) - jnp.abs(rA))
+        act_p = p4(active.astype(jnp.float32)).reshape(F, npt, part)
+        opp_p = p4((active & opposed).astype(jnp.float32)) \
+            .reshape(F, npt, part)
+        imb_p = p4(jnp.where(active, imb, f32(0.0))) \
+            .reshape(F, npt, part)
+        ap = act_p.sum(-1)
+        rp = opp_p.sum(-1)
+        rdsum = imb_p.sum(-1)
+        temp_def = rdsum / jnp.maximum(ap, f32(1.0))
+        ingate = jnp.asarray(np.arange(npt) * part < tfe)
+        nz = (ap > 0) & ingate
+
+        def scan_step(carry, x):
+            td, on = x
+            rdef = jnp.where(carry > 0,
+                             td * f32(0.5) + carry * f32(0.5), td)
+            new = jnp.where(on, td, f32(-1.0))
+            return new, jnp.where(on, rdef, f32(0.0))
+
+        _, rdef = jax.lax.scan(
+            scan_step, jnp.full((F,), -1.0, jnp.float32),
+            (temp_def.T, nz.T))
+        rdef = rdef.T                                    # (F, npt)
+        prae = f32(prae)
+        c1 = nz & (rdef > 1.0)
+        c2 = nz & (rp / jnp.maximum(ap, f32(1.0)) >= prae)
+        c1b = jnp.repeat(c1, part, axis=-1)[:, :n2]
+        c2b = jnp.repeat(c2, part, axis=-1)[:, :n2]
+        return flagm1 & (c1b | (c2b & opposed))
+
     def _couple_quantize(self, md, curve, used, F, thr1=None,
-                         threv=None, inlimit=None):
+                         threv=None, inlimit=None, epeak=None,
+                         npeak=None):
         """Stereo channel coupling + quantization (reference:
         _vp_couple_quantize_normalize, psy.c:4858-5142), stateless fast
         path: per-bin lossless flags from the stereo point thresholds,
@@ -745,7 +917,31 @@ class DeviceFastEncode:
         if thr1 is None:
             thr1 = jnp.asarray(cp["thr1"][:n2])
         r = jnp.abs(res)
-        lossless = (r[:, 0] >= thr1) | (r[:, 1] >= thr1)
+        if epeak is not None:
+            # M9: the stored post-echo peaks lower the lossless
+            # threshold per bin (flag_lossless's point1 -= enpeak,
+            # clamped at prepoint)
+            prep = f32(cp["prepoint"])
+            ep = epeak.reshape(F, 2, n2)
+            thrM = jnp.maximum(thr1 - ep[:, 0], prep)
+            thrA = jnp.maximum(thr1 - ep[:, 1], prep)
+        else:
+            thrM = thrA = thr1
+        f1M = r[:, 0] >= thrM
+        f1A = r[:, 1] >= thrA
+        lossless = f1M | f1A
+        if epeak is not None and int(cp.get("tonefix_end", 0)) > 0:
+            # flag -1 (point2 threshold) feeds the M6 promotion
+            thr2 = jnp.asarray(cp["thr2"][:n2])
+            flagm1 = ((~f1M) & (r[:, 0] >= thr2)) \
+                | ((~f1A) & (r[:, 1] >= thr2))
+            rawM = jnp.where(mdc[:, 0] < 0, -(mdc[:, 0] * mdc[:, 0]),
+                             mdc[:, 0] * mdc[:, 0])
+            rawA = jnp.where(mdc[:, 1] < 0, -(mdc[:, 1] * mdc[:, 1]),
+                             mdc[:, 1] * mdc[:, 1])
+            promoted = self._m6_promote(res[:, 0], res[:, 1], rawM,
+                                        rawA, flagm1 & ~lossless, F)
+            lossless = lossless | promoted
         qi = jnp.rint(res)
         qiM, qiA = qi[:, 0], qi[:, 1]
         # integer lossless mag/ang (psy.c lossless_coupling)
@@ -790,20 +986,302 @@ class DeviceFastEncode:
             inreg = jnp.asarray(bins >= nm["start"]) & inlimit
             cand = (~lossless) & (ve < f32(0.25)) & inreg \
                 & any_used[:, None]
+            npk_m = None
+            if npeak is not None:
+                # point-coupled partitions take the pairwise npeak
+                # merge (psy.c:1377-1381 of the port; negative wins)
+                npk2 = npeak.reshape(F, 2, -1)
+                neg = (npk2[:, 0] < -0.5) | (npk2[:, 1] < -0.5)
+                npk_m = jnp.where(neg, f32(-1.0),
+                                  jnp.minimum(npk2[:, 0], npk2[:, 1]))
             outM = self._normalize_promote(outM, ve, jnp.abs(hyp),
-                                           cand, hyp)
+                                           cand, hyp, npeak=npk_m)
         outM = jnp.where(any_used[:, None], outM, f32(0.0))
         outA = jnp.where(any_used[:, None], outA, f32(0.0))
         return jnp.stack([outM, outA], 1), any_used
 
 
-    def _normalize_promote(self, out, ve, qe, cand, sgn):
+    def _couple_multi(self, md_g, curve_g, used_g, F, epeak=None,
+                      npeak=None):
+        """General multi-step channel coupling for the coupled submap
+        (reference: the coupling_steps loop of
+        _vp_couple_quantize_normalize, psy.c:4858-5142 — e.g. the 5.1
+        templates couple five channels through FOUR chained steps:
+        (0,2) (3,4) (0,1) (0,3), so later steps read the folded
+        outputs of earlier ones).  md_g/curve_g: (F, C, n2);
+        used_g: (F, C).  Returns (out (F, C, n2) integer-valued f32,
+        used_out (F, C))."""
+        cp = self.ctx.couple
+        nsteps = len(self.coupling)
+        prae = 0.34 if nsteps == 1 else 0.825
+        n2 = md_g.shape[-1]
+        C = md_g.shape[1]
+        us = used_g
+        cur = jnp.where(us[..., None], curve_g, f32(1e-10))
+        res = jnp.where(us[..., None], md_g / cur, f32(0.0))
+        r = jnp.abs(res)
+        thr1 = jnp.asarray(cp["thr1"][:n2])
+        thr2 = jnp.asarray(cp["thr2"][:n2])
+        prep = f32(cp["prepoint"])
+        if epeak is not None:
+            thr_eff = jnp.maximum(thr1 - epeak, prep)
+        else:
+            thr_eff = jnp.broadcast_to(thr1, r.shape)
+        tfe = int(cp.get("tonefix_end", 0))
+        bins = np.arange(n2)
+        limit = cp["limit"]
+        nm = getattr(self.ctx, "normal", None)
+        promote_on = nm is not None and nm["thresh"] < 9000.0
+
+        # per-channel mutable state (python lists of (F, n2) arrays)
+        f1 = [r[:, c] >= thr_eff[:, c] if epeak is not None
+              else r[:, c] >= thr1 for c in range(C)]
+        fm1 = [(~f1[c]) & (r[:, c] >= thr2) for c in range(C)]
+        out = [jnp.rint(res[:, c]) for c in range(C)]
+        raw0 = jnp.where(md_g < 0, -(md_g * md_g), md_g * md_g)
+        raw0 = jnp.where(us[..., None], raw0, f32(0.0))
+        re_ = [raw0[:, c] for c in range(C)]
+        quant = [jnp.abs(raw0[:, c]) for c in range(C)]
+        fl_e = [cur[:, c] * cur[:, c] for c in range(C)]
+        rs = [res[:, c] for c in range(C)]
+        usc = [us[:, c] for c in range(C)]
+        if npeak is not None:
+            npk = [npeak[:, c] for c in range(C)]
+        thnor = f32(0.94)
+
+        for si, (Mi, Ai) in enumerate(self.coupling):
+            pair_used = usc[Mi] | usc[Ai]
+            pu = pair_used[:, None]
+            # M6 on the CURRENT residues/energies of the pair
+            if tfe > 0:
+                flagm1 = (fm1[Mi] | fm1[Ai]) & ~(f1[Mi] | f1[Ai])
+                promoted = self._m6_promote(rs[Mi], rs[Ai], re_[Mi],
+                                            re_[Ai], flagm1, F,
+                                            prae=prae, couple=cp)
+            else:
+                promoted = jnp.zeros((F, n2), bool)
+            lossless = (f1[Mi] | f1[Ai] | promoted) & pu
+            point = (~lossless) & pu
+            # point fold thresholds (psy.c: steps==1 or step==3 keep
+            # the .12 high ratio, intermediate steps use .04)
+            hpH = f32(0.12) if (nsteps == 1 or si == 3) else f32(0.04)
+            threv = jnp.asarray(np.where(bins < limit, f32(0.18),
+                                         hpH).astype(np.float32))
+            a2 = jnp.abs(re_[Mi] * thnor)
+            b2 = jnp.abs(re_[Ai] * thnor)
+            rM, rA = re_[Mi], re_[Ai]
+            hyp = jnp.where(
+                rM > 0,
+                jnp.where(rA > 0, a2 + b2,
+                          jnp.where(rM > -rA, a2 - b2 * threv,
+                                    -(b2 - a2 * threv))),
+                jnp.where(rA < 0, -(a2 + b2),
+                          jnp.where(-rM > rA, -(a2 - b2 * threv),
+                                    b2 - a2 * threv)))
+            floorsum = fl_e[Mi] + fl_e[Ai]
+            ve = jnp.abs(hyp) / floorsum
+            sq = jnp.sqrt(ve)
+            mag_pt = jnp.where(hyp < 0, -jnp.rint(sq), jnp.rint(sq))
+            # lossless integer mag/ang transform on the current ints
+            qiM, qiA = out[Mi], out[Ai]
+            c1 = jnp.abs(qiM) > jnp.abs(qiA)
+            magi = jnp.where(c1, qiM, qiA)
+            angi = jnp.where(c1,
+                             jnp.where(qiM > 0, qiM - qiA, qiA - qiM),
+                             jnp.where(qiA > 0, qiM - qiA, qiA - qiM))
+            flip = angi >= jnp.abs(magi) * 2
+            magi = jnp.where(flip, -magi, magi)
+            angi = jnp.where(flip, -angi, angi)
+            # float residue transform (feeds later steps' M6)
+            cf = jnp.abs(rs[Mi]) > jnp.abs(rs[Ai])
+            magf = jnp.where(cf, rs[Mi], rs[Ai])
+            angf = jnp.where(cf,
+                             jnp.where(rs[Mi] > 0, rs[Mi] - rs[Ai],
+                                       rs[Ai] - rs[Mi]),
+                             jnp.where(rs[Ai] > 0, rs[Mi] - rs[Ai],
+                                       rs[Ai] - rs[Mi]))
+            flipf = angf >= jnp.abs(magf) * 2
+            magf = jnp.where(flipf, -magf, magf)
+            angf = jnp.where(flipf, -angf, angf)
+            sqs = jnp.where(hyp < 0, -sq, sq)
+            # point-side promotion on the folded magnitude channel
+            out_pt = mag_pt
+            if promote_on:
+                inreg = jnp.asarray((bins >= nm["start"])
+                                    & (bins >= limit))
+                cand = point & (ve < f32(0.25)) & inreg
+                if npeak is not None:
+                    neg = (npk[Mi] < -0.5) | (npk[Ai] < -0.5)
+                    npk_m = jnp.where(neg, f32(-1.0),
+                                      jnp.minimum(npk[Mi], npk[Ai]))
+                    npk[Mi] = jnp.where(pair_used[:, None], npk_m,
+                                        npk[Mi])
+                else:
+                    npk_m = None
+                out_pt = self._normalize_promote(
+                    mag_pt, ve, jnp.abs(hyp), cand, hyp, npeak=npk_m)
+            # commit the pair's new state
+            out[Mi] = jnp.where(lossless, magi,
+                                jnp.where(point, out_pt, out[Mi]))
+            out[Ai] = jnp.where(lossless, angi,
+                                jnp.where(point, f32(0.0), out[Ai]))
+            re_[Mi] = jnp.where(lossless,
+                                jnp.abs(rM) + jnp.abs(rA),
+                                jnp.where(point, hyp, re_[Mi]))
+            quant[Mi] = jnp.where(lossless, quant[Mi] + quant[Ai],
+                                  jnp.where(point, jnp.abs(hyp),
+                                            quant[Mi]))
+            rs[Mi] = jnp.where(lossless, magf,
+                               jnp.where(point, sqs, rs[Mi]))
+            rs[Ai] = jnp.where(lossless, angf,
+                               jnp.where(point, f32(0.0), rs[Ai]))
+            fsum = jnp.where(pu, fl_e[Mi] + fl_e[Ai], fl_e[Mi])
+            fl_e[Ai] = jnp.where(pu, fsum, fl_e[Ai])
+            fl_e[Mi] = fsum
+            f1[Mi] = lossless | (f1[Mi] & ~pu)
+            f1[Ai] = pu | f1[Ai]
+            # point bins keep a -1 flag on the mag channel (the C only
+            # sets fA=1 there), so later steps' M6 can still promote
+            fm1[Mi] = fm1[Mi] & ~lossless
+            fm1[Ai] = fm1[Ai] & ~pu
+            both = usc[Mi] | usc[Ai]
+            usc[Mi] = both
+            usc[Ai] = both
+        out_g = jnp.stack(out, 1)
+        used_out = jnp.stack(usc, 1)
+        out_g = jnp.where(used_out[..., None], out_g, f32(0.0))
+        return out_g, used_out
+
+    def _finish_multi(self, md, logmdct, mask, F, wb, wid=None,
+                      epeak=None, npeak=None):
+        """Multi-submap encode tail (5.1 layouts): per-group floor
+        fit + wrap coding, the chained coupling on the coupled
+        submap, per-submap residue VQ, one packet assembly."""
+        fe = self.fe
+        ch = self.ch
+        n2 = md.shape[-1]
+        md3 = md.reshape(F, ch, n2)
+        lg3 = logmdct.reshape(F, ch, n2)
+        mk3 = mask.reshape(F, ch, n2)
+        ep3 = epeak.reshape(F, ch, n2) if epeak is not None else None
+        npk3 = (npeak.reshape(F, ch, -1) if npeak is not None
+                else None)
+        fl_cols_v = [None] * ch
+        fl_cols_l = [None] * ch
+        res_blocks = []
+        for g in self.groups:
+            chans = g.channels
+            nc = len(chans)
+            rows = lambda a: a[:, chans[0]:chans[0] + nc].reshape(
+                F * nc, n2)
+            # the submap's floor may cover fewer bins than the block
+            # (e.g. the LFE floor); fit/render at its width, zero the
+            # residue above it (mapping0 codes nothing past floor n)
+            fln = g.fl.n
+            posts, used = g.floor(rows(lg3)[..., :fln],
+                                  rows(mk3)[..., :fln])
+            codes, qposts = self._floor_wrap(posts, used, cfg=g)
+            curve = g.floor.render(qposts, self.ctx.fromdB)
+            if fln < n2:
+                curve = jnp.pad(curve, ((0, 0), (0, n2 - fln)),
+                                constant_values=1e-10)
+            inband = jnp.asarray(np.arange(n2) < fln)
+            fv, fl = self._floor_fields(codes, used, cfg=g)
+            fv = fv.reshape(F, nc, -1)
+            fl = fl.reshape(F, nc, -1)
+            for j, c in enumerate(chans):
+                fl_cols_v[c] = fv[:, j]
+                fl_cols_l[c] = fl[:, j]
+            mdg = rows(md3).reshape(F, nc, n2)
+            curg = curve.reshape(F, nc, n2)
+            usedg = used.reshape(F, nc)
+            if g.res_type == 2:
+                out_g, used_o = self._couple_multi(
+                    mdg, curg, usedg, F,
+                    epeak=(rows(ep3).reshape(F, nc, n2)
+                           if ep3 is not None else None),
+                    npeak=(npk3[:, chans[0]:chans[0] + nc]
+                           if npk3 is not None else None))
+                out_g = jnp.where(inband, out_g, f32(0.0))
+                inter = out_g.transpose(0, 2, 1).reshape(F, -1)
+                absA = jnp.abs(out_g[:, 1]) if nc == 2 else \
+                    jnp.abs(out_g[:, 1:]).max(1)
+                pw = self._classify2(jnp.abs(out_g[:, 0]), absA,
+                                     cfg=g, nch=nc)
+                entries = self._vq_stages(inter, pw, cfg=g)
+                used_r = used_o.any(-1)
+                pw_p = pw.reshape(F, 1, -1)
+                ent_p = [e.reshape(F, 1, g.partvals, -1)
+                         for e in entries]
+                used_p = used_r.reshape(F, 1)
+            else:
+                curg2 = jnp.where(usedg[..., None], curg, f32(1e-10))
+                rr = mdg / curg2
+                res = jnp.rint(rr)
+                res = jnp.where(usedg[..., None] & inband, res, 0.0)
+                nm = getattr(self.ctx, "normal", None)
+                if nm is not None and nm["thresh"] < 9000.0:
+                    ve = rr * rr
+                    binsg = np.arange(n2)
+                    inreg = jnp.asarray(binsg >= nm["start"])
+                    cand = (ve < f32(0.25)) & inreg \
+                        & usedg[..., None]
+                    flatF = F * nc
+                    npk_g = (npk3[:, chans[0]:chans[0] + nc]
+                             .reshape(flatF, -1)
+                             if npk3 is not None else None)
+                    res = self._normalize_promote(
+                        res.reshape(flatF, n2),
+                        ve.reshape(flatF, n2),
+                        jnp.abs(mdg * mdg).reshape(flatF, n2),
+                        cand.reshape(flatF, n2),
+                        rr.reshape(flatF, n2),
+                        npeak=npk_g).reshape(F, nc, n2)
+                pw = self._classify(res.reshape(F * nc, n2),
+                                    cfg=g).reshape(F, nc, -1)
+                entries = self._vq_stages(
+                    res.reshape(F * nc, n2),
+                    pw.reshape(F * nc, -1), cfg=g)
+                pw_p = pw
+                ent_p = [e.reshape(F, nc, g.partvals, -1)
+                         for e in entries]
+                used_p = usedg
+            rv, rl = self._residue_fields(pw_p, ent_p, used_p, cfg=g)
+            res_blocks.append((rv, rl))
+        # header columns
+        if self.W and wid is not None:
+            wf = wid.reshape(F, ch)[:, 0].astype(jnp.uint32)
+            lw_v = (wf >> 1) & 1
+            nw_v = wf & 1
+        else:
+            lw_v = jnp.ones((F,), U32)
+            nw_v = jnp.ones((F,), U32)
+        hdr_v = jnp.concatenate([
+            jnp.zeros((F, 1), U32),
+            jnp.full((F, 1), self.ctx.mode_idx, U32),
+            lw_v[:, None], nw_v[:, None]], 1)
+        wbits = 1 if self.W else 0
+        hdr_l = jnp.asarray(
+            np.array([1, fe.modebits, wbits, wbits],
+                     np.int32))[None, :].repeat(F, 0)
+        vals = jnp.concatenate(
+            [hdr_v] + [_u32(fl_cols_v[c]) for c in range(ch)]
+            + [rv for rv, _ in res_blocks], 1)
+        lens = jnp.concatenate(
+            [hdr_l] + [fl_cols_l[c] for c in range(ch)]
+            + [rl for _, rl in res_blocks], 1)
+        mv, ml = merge_columns(vals, lens, self.plan)
+        return pack_bits_device(mv, ml, wb)
+
+    def _normalize_promote(self, out, ve, qe, cand, sgn, npeak=None):
         """noise_normalize's energy-budget promotion (psy.c:4732-4854),
         batched per partition: candidate bins (sub-unity energy) sort
         by raw energy descending; while the accumulated energy budget
         exceeds normal_thresh, the next-largest candidate becomes +-1
         (one unit of energy each); the rest stay 0.  Inert at rungs
-        where normal_thresh disables it."""
+        where normal_thresh disables it.  npeak (F, nparts): the M8
+        per-partition store — negative disables the partition, positive
+        boosts its budget (acc += acc*npeak^2)."""
         nm = self.ctx.normal
         thresh = f32(nm["thresh"])
         part = nm["partition"]
@@ -818,11 +1296,22 @@ class DeviceFastEncode:
         else:
             out2, ve2, qe2, c2, s2 = out, ve, qe, cand, sgn
         np_ = out2.shape[-1] // part
+        if npeak is not None:
+            npk = npeak[:, :np_]
+            if npk.shape[-1] < np_:
+                npk = jnp.pad(npk,
+                              ((0, 0), (0, np_ - npk.shape[-1])))
+            gate = jnp.repeat(npk > -0.5, part,
+                              axis=-1)[:, :out2.shape[-1]]
+            c2 = c2 & gate
         vp = jnp.where(c2, ve2, 0.0).reshape(F, np_, part)
         acc = vp.sum(-1)
+        if npeak is not None:
+            acc = acc + acc * npk * npk
         npro = jnp.where(acc >= thresh,
                          jnp.floor(acc - thresh).astype(jnp.int32) + 1,
                          0)
+        npro = jnp.minimum(npro, acc.astype(jnp.int32) + 1)
         key = jnp.where(c2, qe2, -jnp.inf).reshape(F, np_, part)
         order = jnp.argsort(-key, axis=-1)
         rank = jnp.argsort(order, axis=-1)
@@ -841,16 +1330,21 @@ class DeviceFastEncode:
         single-device result."""
         ctx = self.ctx
         md, logmdct, mask = ctx.analysis.full_mask(flat, wid)
+        if self.multi:
+            return self._finish_multi(md, logmdct, mask, F, wb, wid)
         posts, used = ctx.floor(logmdct, mask)
         return self.finish_from_posts(md, posts, used, F, wb, wid)
 
     def finish_from_posts(self, md, posts, used, F, wb, wid=None,
                           thr1=None, threv=None, inlimit=None,
-                          lowpass=None):
+                          lowpass=None, epeak=None, npeak=None):
         """Post-fit encode body: raw fit posts -> packed packets.
         Shared by the single-blob fast path and the managed 15-blob
         pass (which feeds interpolated post ladders and per-blob
-        coupling thresholds/lowpass)."""
+        coupling thresholds/lowpass).  epeak/npeak: the stateful
+        path's M9 peak store (F*ch, n2) and M8 partition store
+        (F*ch, nparts) feeding flag_lossless, M6 and the
+        noise-normalize budget."""
         fe = self.fe
         ctx = self.ctx
         ch = self.ch
@@ -865,7 +1359,7 @@ class DeviceFastEncode:
         if self.res_type == 2:
             out2, any_used = self._couple_quantize(
                 md, curve, used, F, thr1=thr1, threv=threv,
-                inlimit=inlimit)
+                inlimit=inlimit, epeak=epeak, npeak=npeak)
             # interleave the coupled pair: flat[i] = out2[:, i%2, i//2]
             inter = out2.transpose(0, 2, 1).reshape(F, -1)
             pw = self._classify2(jnp.abs(out2[:, 0]),
@@ -884,7 +1378,7 @@ class DeviceFastEncode:
                 inreg = jnp.asarray(bins >= nm["start"])
                 cand = (ve < f32(0.25)) & inreg & used[:, None]
                 res = self._normalize_promote(res, ve, jnp.abs(md * md),
-                                              cand, rr)
+                                              cand, rr, npeak=npeak)
             pw = self._classify(res)
             entries = self._vq_stages(res, pw)
             used_r = None
@@ -941,6 +1435,115 @@ class DeviceFastEncode:
             frames = x[:, fidx]                     # (ch, F, n) static
             flat = frames.transpose(1, 0, 2).reshape(F * ch, n)
             return self.encode_flat(flat, F, wb)
+
+        return step
+
+    # -- stateful two-phase pipeline (cross-frame psy state) ---------------
+    def make_probe_step(self, F, n2L):
+        """Phase A of the stateful fast path: frames -> spectra plus
+        the per-frame reductions the host recurrences need and the
+        frame's lastmdct contribution row (resampled per lmode:
+        0 identity, 1 repeat x8 (short, nW long), 2 min-pool /8
+        (long, nW short); psy.c:4462-4501).
+
+        Returns (keep_on_device..., fetch_to_host...):
+          md, logmdct, logfft, fit1, dB   (F*ch, n2)   device
+          L                                (F*ch, n2L)  device
+          lam, hi_th, upt, unt             (F*ch,)      host
+        """
+        n, ch = self.n, self.ch
+        n2 = n // 2
+        nr = n // 64
+        da = self.ctx.analysis
+        look = da.look
+
+        def step(x64, starts, wid, lmode):
+            if x64.dtype != jnp.float32:
+                x64 = x64.astype(jnp.float32) / f32(32768.0)
+            rows = (starts[:, None] // 64
+                    + jnp.arange(nr, dtype=jnp.int32)[None, :])
+            fr = jnp.take(x64, rows, axis=1)
+            flat = fr.reshape(ch, F, n).transpose(1, 0, 2) \
+                .reshape(F * ch, n)
+            w = jnp.repeat(wid, ch) if self.W else None
+            md, logmdct, fit1, dB, logfft = da.spectra(
+                flat, w, with_fft=True)
+            lam = jnp.minimum(jnp.max(logfft, axis=-1), 0.0)
+            # M5 probe: clamped band average (lb_loudnoise_fix)
+            seg = logmdct[:, look.n25p:look.n75p]
+            hi_th = jnp.maximum(seg, f32(-130.0)).sum(-1) \
+                / f32(look.n)
+            # M2 probe: |pcm| segment sums on the raw frames
+            sn = n >> 2
+            ab = jnp.abs(flat)
+            upt = ab[:, sn:2 * sn].sum(-1)
+            unt = ab[:, 2 * sn:sn + (n >> 1)].sum(-1)
+            # lastmdct contribution row
+            lm = jnp.repeat(lmode, ch)
+            if n2 * 8 == n2L:          # short mode: identity | repeat
+                ident = jnp.pad(logmdct, ((0, 0), (0, n2L - n2)))
+                rep = jnp.repeat(logmdct, 8, axis=-1)
+                L = jnp.where((lm == 1)[:, None], rep, ident)
+            else:                       # long mode: identity | minpool
+                n8 = n2 // 8
+                minp = logmdct.reshape(-1, n8, 8).min(-1)
+                minp = jnp.pad(minp, ((0, 0), (0, n2L - n8)))
+                L = jnp.where((lm == 2)[:, None], minp, logmdct)
+            return md, logmdct, logfft, fit1, dB, L, lam, hi_th, \
+                upt, unt
+
+        return step
+
+    def make_finish_step(self, F, wb=None):
+        """Phase B of the stateful fast path: spectra + per-frame
+        state -> packed packets.  Per-row inputs (F*ch): lastmdct
+        (gathered from the global L buffer), lam, lowcomp, poste;
+        per-frame: ampmax (F,), trans (F,) bool (block_mode==2, long
+        mode), wid; m3 (dict of (F,) arrays, short mode only)."""
+        wb = wb or self.plan.wb
+        ch = self.ch
+        da = self.ctx.analysis
+        look = da.look
+        from . import psydevice as PD
+
+        def step(md, logmdct, logfft, fit1, dB, lastmdct, lam,
+                 ampmax, lowcomp, poste, trans, wid, m3):
+            kind = "long" if self.W else "short"
+            logmask, epeak, npeak = PD.noisemask_tail(
+                look, logmdct, fit1, dB, lowcomp, poste, lastmdct,
+                kind,
+                trans_active=jnp.repeat(trans, ch) if self.W else None)
+            amp_rows = jnp.repeat(ampmax, ch)
+            tone = da.tonemask(logfft, amp_rows, lam)
+            val = jnp.minimum(logmask + da.noiseoffsets[1],
+                              da.noisemaxsupp)
+            tval = tone + da.toneatt1
+            tval = PD.lowcompand_tval(look, tval, lowcomp, 1)
+            if not self.W and m3 is not None:
+                n2 = look.n
+                shp = (F, ch, n2)
+                temps = PD.m3_tempmdct_scan(
+                    look, logmdct[:, :n2].reshape(shp),
+                    lastmdct.reshape(F, ch, -1),
+                    val.reshape(shp), tval.reshape(shp), m3)
+                v2, t2, npk2 = PD.m3_apply(
+                    look, val.reshape(shp), tval.reshape(shp),
+                    logmdct[:, :n2].reshape(shp),
+                    lastmdct.reshape(F, ch, -1), temps,
+                    npeak.reshape((F, ch, -1)), m3, m3["impad_zero"])
+                val = v2.reshape(F * ch, n2)
+                tval = t2.reshape(F * ch, n2)
+                npeak = npk2.reshape(F * ch, -1)
+            md2, mask = da.mix_m4_m1(md, logmdct, val, tval, 1)
+            w = jnp.repeat(wid, ch) if self.W else None
+            if self.multi:
+                return self._finish_multi(md2, logmdct, mask, F, wb,
+                                          wid=w, epeak=epeak,
+                                          npeak=npeak)
+            posts, used = self.ctx.floor(logmdct, mask)
+            return self.finish_from_posts(md2, posts, used, F, wb,
+                                          wid=w, epeak=epeak,
+                                          npeak=npeak)
 
         return step
 

@@ -306,9 +306,13 @@ class DeviceFloorFit:
             return fitA, fitB, lon, hin, memo
 
         # unroll: each traced iteration carries ~60 small ops whose
-        # fixed launch/loop overhead dominates at (B, P) sizes
-        fitA, fitB, lon, hin, memo = jax.lax.fori_loop(
-            2, P, body, (fitA, fitB, lon, hin, memo), unroll=4)
+        # fixed launch/loop overhead dominates at (B, P) sizes.
+        # P==2 (endpoint-only floors, e.g. an LFE config) has no
+        # interior posts at all — tracing the body would index the
+        # empty neighbor tables
+        if P > 2:
+            fitA, fitB, lon, hin, memo = jax.lax.fori_loop(
+                2, P, body, (fitA, fitB, lon, hin, memo), unroll=4)
 
         # final output walk (floor1.c:735-750) with STATIC decode-side
         # neighbors; sequential in i but only over (B,) lanes
@@ -334,7 +338,8 @@ class DeviceFloorFit:
             keep = (vx >= 0) & (pred != vx)
             return out.at[:, i].set(jnp.where(keep, vx, pred | 0x8000))
 
-        out = jax.lax.fori_loop(2, P, walk, out, unroll=4)
+        if P > 2:
+            out = jax.lax.fori_loop(2, P, walk, out, unroll=4)
         return out, used
 
 

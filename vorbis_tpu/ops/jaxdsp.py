@@ -168,6 +168,26 @@ class DeviceAnalysis:
         look = PSY.PsyLook(setup.psy_params[blocktype], setup.psy_global,
                            n2, rate)
         self.look = look
+        # aoTuV M4 (floor boost guard) static region + M1 scale factor
+        # (reference: psy.c _vp_offset_and_mix mp4 setup, psy.c:4304-4330
+        # and the M1 block psy.c:4434-4459)
+        vi_p = look.vi
+        ff = setup.floor_full
+        end_block = int(ff[W if len(ff) > 1 else 0]["n"])
+        hsrate = 0 if rate < 26000 else 1
+        m4_end_block = min(end_block + int(vi_p["normal_partition"]), n2)
+        if not hsrate:
+            m4_end = m4_end_block
+        else:
+            m4_end = look.tonecomp_endp
+        m4_start = int(vi_p["normal_start"])
+        if hsrate and vi_p["normal_thresh"] > 1.0:
+            m4_start = 9999
+        self.m4_start = m4_start
+        self.m4_end = m4_end
+        self.m4_thres = f32(look.tonecomp_thres)
+        self.m_val = f32(look.m_val)
+        self.hsrate = hsrate
         if W:
             # windows for the 4 (lW, nW) neighbor shapes; index
             # wid = lW*2 + nW selects per frame (block switching)
@@ -215,17 +235,20 @@ class DeviceAnalysis:
         self.toneatt1 = self.toneatts[1]
         self.tonemask = DeviceToneMask(look)
 
-    def __call__(self, frames, wid=None, base=False):
-        """frames: (..., n) f32 PCM -> (mdct, logmdct, noise_mask).
-        wid: optional per-frame window-shape id (lW*2+nW) for the
-        long-block switching path.  base=True returns the noise curve
-        WITHOUT the offset_select row (managed-mask mixing adds its
-        own per-select noiseoffset)."""
-        n, n2 = self.n, self.n2
+    def windowed(self, frames, wid=None):
         if wid is None:
-            w = frames * self.window
-        else:
-            w = frames * jnp.take(self.windows4, wid, axis=0)
+            return frames * self.window
+        return frames * jnp.take(self.windows4, wid, axis=0)
+
+    def spectra(self, frames, wid=None, with_fft=False):
+        """The per-frame DSP front: window -> MDCT -> log spectrum ->
+        two-pass bark noise fit.  Returns (md, logmdct, fit1, dB
+        [, logfft]): fit1 is the first fit exactly as _vp_noisemask
+        leaves its `work` buffer (double subtraction order), dB the
+        clipped compand index from the second fit.  The stateful
+        finish pass (ops/psydevice.noisemask_tail) consumes these."""
+        n, n2 = self.n, self.n2
+        w = self.windowed(frames, wid)
         # butterfly beats the MXU basis matmul inside the fused step
         # (7.6k x-rt vs 7.0k measured on v5e): XLA fuses todB/masking
         # into the elementwise butterfly stages but not into the
@@ -239,25 +262,83 @@ class DeviceAnalysis:
         # pass 2: refit of the residual with the fixed window minimum
         mask2 = bark_fit(work, self.bark_lo, self.bark_hi, 0.0,
                          self.fixed, self.i1, self.i2, self.j1, self.j2)
-        work = logmdct - work
-        # companding (lib/psy.c: dB = logmask+.5 int index)
+        fit1 = logmdct - work
+        # companding index (lib/psy.c: dB = logmask+.5 int index)
         dB = jnp.clip((mask2 + f32(0.5)).astype(jnp.int32),
                       0, PSY.NOISE_COMPAND_LEVELS - 1)
-        noise = work + jnp.take(self.noisecompand, dB)
+        if not with_fft:
+            return md, logmdct, fit1, dB
+        return md, logmdct, fit1, dB, self.logfft(w)
+
+    def logfft(self, w):
+        """Tone-analysis log spectrum of the windowed frames
+        (reference uses drft; |rfft|^2 gives the same power)."""
+        sp = jnp.fft.rfft(w, axis=-1)[..., :self.n2]
+        power = (sp.real * sp.real + sp.imag * sp.imag
+                 ).astype(jnp.float32)
+        scale = f32(4.0 / self.n)
+        return (todB(power * (scale * scale), xp=jnp) * f32(0.5)
+                + f32(0.345) + f32(0.345))
+
+    def __call__(self, frames, wid=None, base=False):
+        """frames: (..., n) f32 PCM -> (mdct, logmdct, noise_mask).
+        wid: optional per-frame window-shape id (lW*2+nW) for the
+        long-block switching path.  base=True returns the noise curve
+        WITHOUT the offset_select row (managed-mask mixing adds its
+        own per-select noiseoffset)."""
+        md, logmdct, fit1, dB = self.spectra(frames, wid)
+        noise = fit1 + jnp.take(self.noisecompand, dB)
         if base:
             return md, logmdct, noise
         return md, logmdct, noise + self.noiseoffset
 
+    def offset_and_mix(self, md, logmdct, noise, tone, select=1):
+        """The stateless core of _vp_offset_and_mix (psy.c:4274-4502)
+        for one offset_select: noise/tone mix with the aoTuV M4 floor
+        boost guard and (select 1 only) the M1 relative-MDCT scaling.
+        The cross-frame M3 terms are applied by the stateful pipeline
+        (ops/psydevice) before this when enabled.  Returns
+        (scaled_md, mask)."""
+        val = jnp.minimum(noise + self.noiseoffsets[select],
+                          self.noisemaxsupp)
+        tval = tone + self.toneatts[select]
+        return self.mix_m4_m1(md, logmdct, val, tval, select)
+
+    def mix_m4_m1(self, md, logmdct, val, tval, select):
+        """M4 + (select 1) M1 tail of offset_and_mix, on
+        already-adjusted val/tval (the stateful path runs the M3
+        history terms in between)."""
+        n2 = self.n2
+        bins = np.arange(n2)
+        # M4 (psy.c:4411-4423): where the tone curve governs inside
+        # [m4_start, m4_end], pull it toward the noise val when the
+        # spectrum itself sits below it
+        in_m4 = jnp.asarray((bins > self.m4_start)
+                            & (bins < self.m4_end))
+        adj = jnp.where(logmdct < val,
+                        tval - (tval - val) * self.m4_thres, logmdct)
+        tval_m4 = jnp.where(in_m4 & (logmdct < tval), adj, tval)
+        mask = jnp.where(val > tval, val, tval_m4)
+        if select == 1:
+            # M1 (psy.c:4434-4459): scale the MDCT line by how far the
+            # mask sits above the spectrum
+            v2 = val - logmdct
+            m1c = f32(-17.2)
+            de_hi = f32(1.0) - (v2 - m1c) * (f32(0.005) * self.m_val)
+            de_lo = f32(1.0) - (v2 - m1c) * (f32(0.0003) * self.m_val)
+            de_hi = jnp.where(de_hi < 0, f32(0.0001), de_hi)
+            de = jnp.where(v2 > m1c, de_hi, de_lo)
+            md = md * de
+        return md, mask
+
     def full_mask(self, frames, wid=None):
         """Complete fast-path masking chain: MDCT + FFT spectra, noise
         fit, tone seeding, and the stateless _vp_offset_and_mix core
-        (offset_select=1 path without the M3/M4 history terms).
-        Returns (mdct, logmdct, final_mask)."""
+        (offset_select=1 path with M1/M4, without the M3 history
+        terms).  Returns (mdct, logmdct, final_mask)."""
         md, logmdct, noise, tone = self.mask_components(frames, wid)
-        val = jnp.minimum(noise + self.noiseoffsets[1],
-                          self.noisemaxsupp)
-        tval = tone + self.toneatt1
-        return md, logmdct, jnp.maximum(val, tval)
+        md, mask = self.offset_and_mix(md, logmdct, noise, tone, 1)
+        return md, logmdct, mask
 
     def mask_components(self, frames, wid=None):
         """(mdct, logmdct, noise_base, tone): noise_base EXCLUDES the
@@ -266,20 +347,9 @@ class DeviceAnalysis:
         under bit management computes masks 0/1/2 from the same noise
         and tone curves with per-select noiseoffset/tone_masteratt,
         mapping0.c:1090-1181)."""
-        md, logmdct, noise = self(frames, wid, base=True)
-        n = self.n
-        if wid is None:
-            w = frames * self.window
-        else:
-            w = frames * jnp.take(self.windows4, wid, axis=0)
-        # tone analysis spectrum (reference uses drft; the fast path
-        # takes |rfft|^2 which matches the same power values)
-        sp = jnp.fft.rfft(w, axis=-1)[..., :self.n2]
-        power = (sp.real * sp.real + sp.imag * sp.imag
-                 ).astype(jnp.float32)
-        scale = f32(4.0 / n)
-        logfft = (todB(power * (scale * scale), xp=jnp) * f32(0.5)
-                  + f32(0.345) + f32(0.345))
+        md, logmdct, fit1, dB, logfft = self.spectra(frames, wid,
+                                                     with_fft=True)
+        noise = fit1 + jnp.take(self.noisecompand, dB)
         local_max = jnp.minimum(jnp.max(logfft, axis=-1), 0.0)
         global_max = local_max  # stateless: no cross-block ampmax decay
         tone = self.tonemask(logfft, global_max, local_max)
@@ -291,10 +361,12 @@ class DeviceAnalysis:
         interpolation ladder (reference: mapping0.c:1090-1181)."""
         md, logmdct, noise, tone = self.mask_components(frames, wid)
         masks = []
-        for k in range(3):
-            val = jnp.minimum(noise + self.noiseoffsets[k],
-                              self.noisemaxsupp)
-            masks.append(jnp.maximum(val, tone + self.toneatts[k]))
+        # select order mirrors the reference (mapping0.c:1090-1181):
+        # mask1 first — its M1 pass rescales the mdct used by every blob
+        md, m1 = self.offset_and_mix(md, logmdct, noise, tone, 1)
+        _, m2 = self.offset_and_mix(md, logmdct, noise, tone, 2)
+        _, m0 = self.offset_and_mix(md, logmdct, noise, tone, 0)
+        masks = [m0, m1, m2]
         return md, logmdct, jnp.stack(masks, axis=-2)
 
 
@@ -455,8 +527,12 @@ class DeviceToneMask:
             a = jnp.take(levels[k], lo_idx, axis=-1)
             b = jnp.take(levels[k], np.maximum(hi_idx, 0), axis=-1)
             minv = jnp.where(m, jnp.minimum(a, b), minv)
-        minv = jnp.minimum(minv, self.tone_abs_limit)
-        minv = jnp.where(jnp.isfinite(minv), minv, PSY.NEGINF)
+        # seedless windows must stay at the ATH floor: the abs-limit
+        # clamp may only apply to real seed minima (clamping the +inf
+        # sentinel would raise every quiet bin to tone_abs_limit)
+        minv = jnp.where(jnp.isfinite(minv),
+                         jnp.minimum(minv, self.tone_abs_limit),
+                         PSY.NEGINF)
         return jnp.maximum(flr, minv)
 
 
