@@ -172,6 +172,80 @@ long vn_pack_bits_multi(const uint64_t *values, const int32_t *nbits,
     return total;
 }
 
+/* Assemble the audio pages of one stream in a single call.
+
+ * Packets live as rows of two row-major arrays (long-block packets in
+ * pk_l with stride wl, short-block in pk_s with stride ws);
+ * per-packet metadata selects the row: isshort[i], ilk[i] (row
+ * index), sizes[i] (bytes), gps[i] (granulepos of the page ENDING at
+ * packet i).  Page fill mirrors the reference Ogg encode loop
+ * (<= per_page packets, lacing table <= 255 segments), header layout
+ * per the Ogg spec, CRC via the libogg polynomial above.  Returns
+ * total bytes written to out (caller sizes out as
+ * sum(sizes) + npkt*(27+255)); *pageno_io advances past the emitted
+ * pages. */
+long vn_ogg_pages(const uint8_t *pk_l, long wl, const uint8_t *pk_s,
+                  long ws, const int64_t *ilk, const uint8_t *isshort,
+                  const int64_t *sizes, const int64_t *gps, long npkt,
+                  uint32_t serialno, int per_page, int eos_last,
+                  uint8_t *out, int64_t *pageno_io)
+{
+    long pageno = (long)*pageno_io;
+    long o = 0;
+    long i0 = 0;
+    while (i0 < npkt) {
+        long hi = i0;
+        int nseg = 0;
+        long body = 0;
+        while (hi < npkt && hi - i0 < per_page) {
+            long nsz = sizes[hi];
+            int need = (int)(nsz / 255 + 1);
+            if (nseg && nseg + need > 255)
+                break;
+            nseg += need;
+            body += nsz;
+            hi++;
+        }
+        int eos = eos_last && hi == npkt;
+        uint8_t *h = out + o;
+        h[0] = 'O'; h[1] = 'g'; h[2] = 'g'; h[3] = 'S';
+        h[4] = 0;
+        h[5] = (uint8_t)(eos ? 4 : 0);
+        int64_t gp = gps[hi - 1];
+        for (int k = 0; k < 8; k++)
+            h[6 + k] = (uint8_t)((uint64_t)gp >> (8 * k));
+        for (int k = 0; k < 4; k++)
+            h[14 + k] = (uint8_t)(serialno >> (8 * k));
+        for (int k = 0; k < 4; k++)
+            h[18 + k] = (uint8_t)((uint32_t)pageno >> (8 * k));
+        h[22] = h[23] = h[24] = h[25] = 0;
+        h[26] = (uint8_t)nseg;
+        long lo = o + 27;
+        for (long i = i0; i < hi; i++) {
+            long nsz = sizes[i];
+            while (nsz >= 255) {
+                out[lo++] = 255;
+                nsz -= 255;
+            }
+            out[lo++] = (uint8_t)nsz;
+        }
+        for (long i = i0; i < hi; i++) {
+            const uint8_t *src = isshort[i]
+                ? pk_s + ilk[i] * ws : pk_l + ilk[i] * wl;
+            memcpy(out + lo, src, (size_t)sizes[i]);
+            lo += sizes[i];
+        }
+        uint32_t crc = (uint32_t)vn_ogg_crc(out + o, lo - o, 0);
+        for (int k = 0; k < 4; k++)
+            h[22 + k] = (uint8_t)(crc >> (8 * k));
+        o = lo;
+        pageno++;
+        i0 = hi;
+    }
+    *pageno_io = pageno;
+    return o;
+}
+
 /* ===================================================================
  * Whole-stream audio packet parser + residue accumulator.
  *

@@ -134,10 +134,18 @@ class Encoder:
 
     # ------------------------------------------------------------------
     def header_packets(self, comments=None):
+        # memoized: the setup header alone costs ~25 ms to pack and is
+        # identical for every stream of a batch encode
+        key = tuple(comments or [])
+        cached = getattr(self, "_hdr_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
         vi = self.vi
-        vi.comments = comments or []
-        return [H.pack_id_header(vi), H.pack_comment_header(vi),
+        vi.comments = list(key)
+        pkts = [H.pack_id_header(vi), H.pack_comment_header(vi),
                 H.pack_setup_header(vi)]
+        self._hdr_cache = (key, pkts)
+        return pkts
 
     # ------------------------------------------------------------------
     def _buffer(self, vals):

@@ -634,23 +634,46 @@ class FastEncoder:
         int64 arrays in padded-stream coordinates (front pad = hop);
         mirrors the blockout decision: a long block whose window span
         contains a mark becomes short (block.c:557-812, envelope.c
-        _ve_envelope_mark span logic)."""
+        _ve_envelope_mark span logic).
+
+        Mark-free stretches (the common case) bulk-emit their long
+        runs arithmetically — from a long-long steady state the
+        look-ahead window is mark-free exactly while
+        c <= 64*next_mark - K — so scheduling costs O(marks), not
+        O(blocks)."""
         n1 = self.n
         n0 = self.vi.blocksizes[0]
         hop = n1 // 2
-        mc = np.concatenate([[0], np.cumsum(marks.astype(np.int64))])
+        marks = np.asarray(marks, bool)
         nmk = len(marks)
+        mark_steps = np.flatnonzero(marks)
+        mc = np.concatenate([[0], np.cumsum(marks.astype(np.int64))])
 
         def anymark(b, e):
             b = max(0, min(b, nmk))
             e = max(0, min(e, nmk))
             return e > b and mc[e] > mc[b]
 
-        cs = [hop]
-        Ws = [1]                  # first block long (covers front pad)
+        segs_c = [np.array([hop], np.int64)]
+        segs_W = [np.array([1], np.int64)]  # first block long (pad)
         c, Wp = hop, 1
         end_c = hop + ns
+        K_long = 3 * (n1 // 4) + n0 // 4  # long-long look-ahead span
         while c < end_c:
+            if Wp == 1:
+                mi = int(np.searchsorted(mark_steps, c // 64))
+                if mi < len(mark_steps):
+                    cap = min(64 * int(mark_steps[mi]) - K_long,
+                              end_c - 1)
+                else:
+                    cap = end_c - 1
+                if cap >= c:
+                    k = (cap - c) // hop + 1
+                    arr = c + hop * np.arange(1, k + 1, dtype=np.int64)
+                    segs_c.append(arr)
+                    segs_W.append(np.ones(k, np.int64))
+                    c = int(arr[-1])
+                    continue
             adv_p = (n1 if Wp else n0) // 4
             c_long = c + adv_p + n1 // 4
             b0 = (c_long - n1 // 4 - adv_p) // 64
@@ -661,10 +684,10 @@ class FastEncoder:
             else:
                 W = 1
                 c = c_long
-            Ws.append(W)
-            cs.append(c)
+            segs_c.append(np.array([c], np.int64))
+            segs_W.append(np.array([W], np.int64))
             Wp = W
-        return np.asarray(cs, np.int64), np.asarray(Ws, np.int64)
+        return np.concatenate(segs_c), np.concatenate(segs_W)
 
     # -- stateful two-phase pipeline --------------------------------------
     def _probe_step(self, W, B):
@@ -706,10 +729,21 @@ class FastEncoder:
         n2L = self.n // 2
         hsrate = self.rate >= 26000
 
-        # --- per-stream annotations + per-frame probe metadata
+        # --- per-stream annotations (batched across streams) +
+        # per-frame probe metadata
+        S = len(per)
+        Fmax = max(len(r["Ws"]) for r in per)
+        Ws_p = np.ones((S, Fmax), np.int64)
+        imp_p = np.zeros((S, Fmax), bool)
+        for sidx, rec in enumerate(per):
+            F = len(rec["Ws"])
+            Ws_p[sidx, :F] = rec["Ws"]
+            imp_p[sidx, :F] = rec["impulse"]
+        ann_nd = PD.annotate_frames_nd(Ws_p, imp_p)
         anns = []
-        for rec in per:
-            ann = PD.annotate_frames(rec["Ws"], rec["impulse"])
+        for sidx, rec in enumerate(per):
+            F = len(rec["Ws"])
+            ann = {k: v[sidx, :F] for k, v in ann_nd.items()}
             anns.append(ann)
             rec["ann"] = ann
         # lmode per frame: how THIS frame's logmdct resamples into its
@@ -796,7 +830,16 @@ class FastEncoder:
                          impad_zero=np.ones(nshort, bool))
         toneatt1 = float(self.analysis.look.vi["tone_masteratt"][1])
 
-        for rec, ann in zip(per, anns):
+        # padded (S, Fmax) / (S, ch, Fmax) layouts so ONE vectorized
+        # recurrence covers every stream (ampmax/lowcomp lanes evolve
+        # independently; pad frames trail the real ones and are never
+        # read back)
+        lam_p = np.full((S, Fmax), -9999.0, np.float32)
+        hi_p = np.zeros((S, ch, Fmax), np.float32)
+        up_p = np.zeros((S, ch, Fmax), np.float32)
+        un_p = np.zeros((S, ch, Fmax), np.float32)
+        gls, gss = [], []
+        for sidx, (rec, ann) in enumerate(zip(per, anns)):
             li, si = rec["li"], rec["si"]
             lofs, sofs = rec["lofs"], rec["sofs"]
             F = len(rec["Ws"])
@@ -804,6 +847,8 @@ class FastEncoder:
             rowf = np.empty((F, ch), np.int64)
             gl = lofs + np.arange(len(li))
             gs = sofs + np.arange(len(si))
+            gls.append(gl)
+            gss.append(gs)
             for c in range(ch):
                 rowf[li, c] = gl * ch + c
                 rowf[si, c] = NLrows + gs * ch + c
@@ -819,37 +864,46 @@ class FastEncoder:
             if len(si):
                 lamf[si] = np.max(
                     lam_s[(gs * ch)[:, None] + np.arange(ch)], -1)
-            amp = PD.ampmax_seq(lamf, rec["Ws"], self.vi.blocksizes,
-                                self.rate,
-                                self.setup.psy_global
-                                ["ampmax_att_per_sec"])
-            amp_l[gl] = amp[li]
-            amp_s[gs] = amp[si]
-            # M5 latch + M2 poste per channel (long rows carry them)
+            lam_p[sidx, :F] = lamf
             for c in range(ch):
-                hi = np.zeros(F, np.float32)
-                hi[li] = hi_l[gl * ch + c] if len(li) else 0
-                lc = PD.lowcomp_seq(hi, ann, look_mnt)
-                lc_l[gl * ch + c] = lc[li]
-                lc_s[gs * ch + c] = lc[si]
-                up = np.zeros(F, np.float32)
-                un = np.zeros(F, np.float32)
-                up[li] = up_l[gl * ch + c] if len(li) else 0
-                un[li] = un_l[gl * ch + c] if len(li) else 0
-                po = PD.poste_seq(up, un, ann, self.n)
-                po_l[gl * ch + c] = po[li]
-            # M3 params for this stream's short frames
-            if len(si) and hsrate:
-                sub = {k: v[si] for k, v in ann.items()}
-                pr = PD.m3_param_seq(sub, self.vi.blocksizes[0] // 2,
-                                     toneatt1, True)
-                m3_fields["sw"][gs] = pr["sw"]
-                m3_fields["noise_rate"][gs] = pr["noise_rate"]
-                m3_fields["noise_center"][gs] = pr["noise_center"]
-                m3_fields["tone_rate"][gs] = pr["tone_rate"]
-                m3_fields["reset"][gs] = pr["reset"]
-                m3_fields["impad_zero"][gs] = \
-                    ann["impadnum"][si] == 0
+                if len(li):
+                    hi_p[sidx, c, li] = hi_l[gl * ch + c]
+                    up_p[sidx, c, li] = up_l[gl * ch + c]
+                    un_p[sidx, c, li] = un_l[gl * ch + c]
+        amp_all = PD.ampmax_seq_nd(
+            lam_p, Ws_p, self.vi.blocksizes, self.rate,
+            self.setup.psy_global["ampmax_att_per_sec"])
+        bm_r = np.repeat(ann_nd["bm"], ch, 0)        # (S*ch, Fmax)
+        lWbm_r = np.repeat(ann_nd["lW_bm"], ch, 0)
+        lc_all = PD.lowcomp_seq_nd(hi_p.reshape(S * ch, Fmax),
+                                   bm_r, lWbm_r, look_mnt)
+        po_all = PD.poste_seq(up_p.reshape(S * ch, Fmax),
+                              un_p.reshape(S * ch, Fmax),
+                              {"bm": bm_r, "lW_bm": lWbm_r}, self.n)
+        for sidx, rec in enumerate(per):
+            li, si = rec["li"], rec["si"]
+            gl, gs = gls[sidx], gss[sidx]
+            amp_l[gl] = amp_all[sidx, li]
+            amp_s[gs] = amp_all[sidx, si]
+            for c in range(ch):
+                r = sidx * ch + c
+                lc_l[gl * ch + c] = lc_all[r, li]
+                lc_s[gs * ch + c] = lc_all[r, si]
+                po_l[gl * ch + c] = po_all[r, li]
+        # M3 params for all streams' short frames (global short order
+        # IS stream order: gs = sofs + arange)
+        if nshort and hsrate:
+            sub = {k: np.concatenate(
+                [a[k][r["si"]] for a, r in zip(anns, per)])
+                for k in ("bm", "lW_bm", "lW_no", "impadnum")}
+            pr = PD.m3_param_seq(sub, self.vi.blocksizes[0] // 2,
+                                 toneatt1, True)
+            m3_fields["sw"] = pr["sw"]
+            m3_fields["noise_rate"] = pr["noise_rate"]
+            m3_fields["noise_center"] = pr["noise_center"]
+            m3_fields["tone_rate"] = pr["tone_rate"]
+            m3_fields["reset"] = pr["reset"]
+            m3_fields["impad_zero"] = sub["impadnum"] == 0
 
         # --- the global lastmdct-contribution buffer
         Ls = [o[5] for o in pa_l] + [o[5] for o in pa_s] \
@@ -1127,12 +1181,20 @@ class FastEncoder:
             gps = cs - hop
             gps[-1] = ns
 
-            def rows_for(i, Ws=Ws, ilk=ilk, sizes=sizes):
-                if Ws[i] == 1:
-                    return pk_l[ilk[i], :sizes[i]].tobytes()
-                return pk_s[ilk[i], :sizes[i]].tobytes()
+            from .. import native as VN
+            res = VN.ogg_pages(pk_l, pk_s, ilk,
+                               (Ws == 0).astype(np.uint8), sizes, gps,
+                               serialno, w.pageno)
+            if res is not None:
+                blob, w.pageno = res
+                w._pages.append(blob)
+            else:
+                def rows_for(i, Ws=Ws, ilk=ilk, sizes=sizes):
+                    if Ws[i] == 1:
+                        return pk_l[ilk[i], :sizes[i]].tobytes()
+                    return pk_s[ilk[i], :sizes[i]].tobytes()
 
-            self._write_audio_pages(w, rows_for, sizes, gps)
+                self._write_audio_pages(w, rows_for, sizes, gps)
             outs.append(w.pageout_all())
         return outs
 

@@ -57,6 +57,17 @@ def _load():
     L.vn_ogg_crc.argtypes = [
         np.ctypeslib.ndpointer(np.uint8, flags="C"), C.c_long,
         C.c_uint32]
+    L.vn_ogg_pages.restype = C.c_long
+    L.vn_ogg_pages.argtypes = [
+        np.ctypeslib.ndpointer(np.uint8, flags="C"), C.c_long,
+        np.ctypeslib.ndpointer(np.uint8, flags="C"), C.c_long,
+        np.ctypeslib.ndpointer(np.int64, flags="C"),
+        np.ctypeslib.ndpointer(np.uint8, flags="C"),
+        np.ctypeslib.ndpointer(np.int64, flags="C"),
+        np.ctypeslib.ndpointer(np.int64, flags="C"),
+        C.c_long, C.c_uint32, C.c_int, C.c_int,
+        np.ctypeslib.ndpointer(np.uint8, flags="C"),
+        np.ctypeslib.ndpointer(np.int64, flags="C")]
     L.vn_huff_decode.restype = C.c_long
     L.vn_huff_decode.argtypes = [
         np.ctypeslib.ndpointer(np.uint8, flags="C"), C.c_long,
@@ -218,6 +229,36 @@ def ogg_crc(data: bytes, crc: int = 0):
         return None
     arr = np.frombuffer(bytes(data), np.uint8)
     return int(L.vn_ogg_crc(arr, len(arr), crc)) & 0xFFFFFFFF
+
+
+def ogg_pages(pk_l, pk_s, ilk, isshort, sizes, gps, serialno, pageno,
+              per_page=16, eos_last=True):
+    """Assemble one stream's audio pages in one native call.
+
+    pk_l (Fl, wl) / pk_s (Fs, ws) uint8 packet rows; per-packet ilk /
+    isshort / sizes / gps.  Returns (pages_bytes, next_pageno) or None
+    without the library."""
+    L = _load()
+    if L is None:
+        return None
+    pk_l = np.ascontiguousarray(pk_l, np.uint8)
+    pk_s = np.ascontiguousarray(pk_s, np.uint8)
+    ilk = np.ascontiguousarray(ilk, np.int64)
+    iss = np.ascontiguousarray(isshort, np.uint8)
+    sizes = np.ascontiguousarray(sizes, np.int64)
+    gps = np.ascontiguousarray(gps, np.int64)
+    npkt = len(sizes)
+    cap = int(sizes.sum()) + npkt * (27 + 255) + 64
+    out = np.empty(cap, np.uint8)
+    pgio = np.array([pageno], np.int64)
+    wl = pk_l.shape[1] if pk_l.ndim == 2 and pk_l.shape[0] else 1
+    ws = pk_s.shape[1] if pk_s.ndim == 2 and pk_s.shape[0] else 1
+    n = L.vn_ogg_pages(pk_l, C.c_long(wl), pk_s, C.c_long(ws),
+                       ilk, iss, sizes, gps, C.c_long(npkt),
+                       C.c_uint32(serialno & 0xFFFFFFFF),
+                       C.c_int(per_page),
+                       C.c_int(1 if eos_last else 0), out, pgio)
+    return out[:n].tobytes(), int(pgio[0])
 
 
 def pack_bits_multi(values: np.ndarray, nbits: np.ndarray):

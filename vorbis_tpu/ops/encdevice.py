@@ -99,12 +99,97 @@ def onehot_table_lookup(entries, cls, val_tabs, len_tabs, nbytes=4):
     return val, sel[..., nbytes]
 
 
+def factored_planes_lookup(entries, planes_tab, lo=256):
+    """entries (...,) int32 in [0, E); planes_tab (E, P) int8 ->
+    (..., P) int32.  Two-level one-hot table lookup: the E-entry table
+    re-tiles to (lo, nhi*P) so the MXU matmul's K dimension is `lo`
+    (1-2 tiles) and N is nhi*P, then a small masked-sum picks the
+    e // lo block.  A flat one-hot would cost R*E MACs — ruinous for
+    the 3^8-entry dim-8 lattice books — this costs ~R*lo plus an
+    R*nhi*P select."""
+    E, P = planes_tab.shape
+    nhi = -(-E // lo)
+    pad = np.zeros((nhi * lo - E, P), planes_tab.dtype)
+    t = np.concatenate([np.asarray(planes_tab, np.int8), pad], 0)
+    W = jnp.asarray(t.reshape(nhi, lo, P).transpose(1, 0, 2)
+                    .reshape(lo, nhi * P))
+    shape = entries.shape
+    e = jnp.clip(entries, 0, E - 1).reshape(-1)
+    elo = e % lo
+    ehi = e // lo
+    oh = (elo[:, None] == jnp.arange(lo, dtype=jnp.int32)[None, :]) \
+        .astype(jnp.int8)
+    prod = jax.lax.dot(oh, W, preferred_element_type=jnp.int32) \
+        .reshape(-1, nhi, P)
+    hi_hit = (ehi[:, None]
+              == jnp.arange(nhi, dtype=jnp.int32)[None, :])
+    sel = jnp.sum(jnp.where(hi_hit[..., None], prod, 0), axis=1)
+    return sel.reshape(shape + (P,))
+
+
+def _val_from_planes(sel, nbytes):
+    """(..., >=nbytes+1) int32 byte planes -> (val uint32, len int32)."""
+    val = _u32(sel[..., 0] & 0xFF)
+    for k in range(1, nbytes):
+        val = val | _shl(sel[..., k] & 0xFF, 8 * k)
+    return val, sel[..., nbytes]
+
+
+def grouped_table_lookup(entries, cls, books):
+    """Per-class codeword/length lookup via ONE flat factored lookup.
+
+    books: list over class ids of None or (cw (E,) uint32,
+    cl (E,) int32).  The class books concatenate into one flat table;
+    a where-ladder turns (cls, entry) into a flat index, and
+    factored_planes_lookup does the lookup with MXU tiles whose width
+    is independent of the biggest book — the old stacked one-hot
+    widened EVERY class to the 3^8-lattice width and was the single
+    hottest op in the encode graph.  Byte planes are trimmed to the
+    real max codeword length.  Rows whose class has no book return
+    garbage — callers mask by the secondstages bit as before."""
+    shape = entries.shape
+    offs = np.zeros(len(books) + 1, np.int64)
+    for c, b in enumerate(books):
+        offs[c + 1] = offs[c] + (len(b[0]) if b is not None else 0)
+    E = int(offs[-1])
+    if E == 0:
+        return jnp.zeros(shape, U32), jnp.zeros(shape, jnp.int32)
+    maxlen = max(int(np.max(b[1])) for b in books if b is not None)
+    nb = max(1, -(-maxlen // 8))
+    cwf = np.concatenate([np.asarray(b[0], np.uint32)
+                          for b in books if b is not None])
+    clf = np.concatenate([np.asarray(b[1], np.int32)
+                          for b in books if b is not None])
+    planes = [((cwf >> np.uint32(8 * k)) & np.uint32(0xFF))
+              .astype(np.int8) for k in range(nb)]
+    planes.append(clf.astype(np.int8))     # codeword lengths <= 32
+    tab = np.stack(planes, 1)
+    clsb = jnp.broadcast_to(cls, shape)
+    off = jnp.zeros(shape, jnp.int32)
+    for c, b in enumerate(books):
+        if b is None or offs[c] == 0:
+            continue
+        off = jnp.where(clsb == c, jnp.int32(offs[c]), off)
+    idx = off + jnp.maximum(entries, 0)    # factored clips to [0, E)
+    # balance the one-hot compare (R*lo) vs the block select
+    # (R*(E/lo)*planes)
+    lo = 256
+    while lo * lo < E * (nb + 1) and lo < 2048:
+        lo *= 2
+    sel = factored_planes_lookup(idx, tab, lo=lo)
+    return _val_from_planes(sel, nb)
+
+
 def onehot_remap(entries, remap_digits, nd):
-    """entries (...,) int32 -> remapped digits (..., nd) int32 via a
-    one-hot int8 matmul (remap_digits: (maxent, nd) with digits <=127).
+    """entries (...,) int32 -> remapped digits (..., nd) int32.
     Used by the rare lattice books whose unused entries redirect to a
-    nearest used neighbour (res0.c local_book_besterror miss scan)."""
+    nearest used neighbour (res0.c local_book_besterror miss scan).
+    Big tables (the 6561-entry lattices) route through the factored
+    two-level lookup; small ones keep the flat one-hot int8 matmul."""
     maxent = remap_digits.shape[0]
+    if maxent > 512:
+        return factored_planes_lookup(entries,
+                                      remap_digits.astype(np.int8))
     shape = entries.shape
     e = jnp.clip(entries, 0, maxent - 1).reshape(-1)
     oh = (e[:, None] == jnp.arange(maxent, dtype=jnp.int32)[None, :]) \
@@ -176,37 +261,101 @@ def merge_columns(vals, lens, plan: PackPlan):
     return acc_v, acc_l
 
 
-def pack_bits_device(vals, lens, wb):
+def _merge_limb_pairs(limbs, lens, off):
+    """One pairwise merge level for the device bit packer.
+
+    limbs (F, C, nl) uint32 little-endian; lens (F, C) bit counts
+    (<= 32*nl); off (F, C) absolute bit offsets.  Adjacent column
+    pairs combine LSB-first: even | (odd << len_even).  Returns
+    (limbs (F, C/2, 2*nl), lens, off) where off keeps the even
+    column's offset (= the merged field's packet position)."""
+    F, C, nl = limbs.shape
+    if C % 2:
+        limbs = jnp.concatenate(
+            [limbs, jnp.zeros((F, 1, nl), limbs.dtype)], 1)
+        lens = jnp.concatenate(
+            [lens, jnp.zeros((F, 1), lens.dtype)], 1)
+        off = jnp.concatenate(
+            [off, off[:, -1:]], 1)
+        C += 1
+    a, la, off_a = limbs[:, 0::2], lens[:, 0::2], off[:, 0::2]
+    b, lb = limbs[:, 1::2], lens[:, 1::2]
+    nl2 = 2 * nl
+    z = jnp.zeros(b.shape[:2] + (nl,), b.dtype)
+    bl = jnp.concatenate([b, z], -1)             # (F, C2, nl2)
+    s = (la & 31)[..., None]                     # sub-word shift
+    w = (la >> 5)                                # word shift (0..nl)
+    su = _u32(s)
+    lo = _shl(bl, su)
+    hi_src = jnp.concatenate([jnp.zeros_like(bl[..., :1]),
+                              bl[..., :-1]], -1)
+    carry = jnp.where(s > 0, hi_src >> _u32(32 - jnp.minimum(s, 31)),
+                      jnp.uint32(0))
+    bs = lo | carry
+    shifted = bs
+    for wv in range(1, nl + 1):
+        rolled = jnp.concatenate(
+            [jnp.zeros(bs.shape[:2] + (wv,), bs.dtype),
+             bs[..., :nl2 - wv]], -1)
+        shifted = jnp.where((w == wv)[..., None], rolled, shifted)
+    a_ext = jnp.concatenate([a, z], -1)
+    return a_ext | shifted, la + lb, off_a
+
+
+def pack_bits_device(vals, lens, wb, merge_levels=2):
     """(F, C1) merged (value, nbits) columns -> (F, wb) packed bytes +
     (F,) total bit counts.  LSB-first like oggpack_write.
 
-    Byte-plane formulation: field i spans bytes base..base+4 of the
-    packet; plane_j = byte j of (value << (off&7)).  One one-hot int8
-    matmul per frame accumulates all planes onto the byte axis — the
-    MXU replaces what XLA would otherwise lower as a serial scatter.
-    """
+    Byte-plane formulation: field i spans a bounded byte window of
+    the packet; plane_j = byte j of (value << (off&7)).  One one-hot
+    int8 matmul per frame accumulates all planes onto the byte axis —
+    the MXU replaces what XLA would otherwise lower as a serial
+    scatter.  Before the matmul, `merge_levels` pairwise limb merges
+    fold the <=32-bit columns into <=128-bit multi-limb columns: the
+    one-hot operand (the bandwidth cost of this formulation) shrinks
+    by 2^levels while the plane count only grows linearly."""
     F, C1 = vals.shape
     lens = lens.astype(jnp.int32)
     off = jnp.cumsum(lens, axis=1) - lens
     total = off[:, -1] + lens[:, -1]
     masked = jnp.where(lens > 0, _u32(vals), jnp.uint32(0))
+    limbs = masked[..., None]
+    L = lens
+    for _ in range(merge_levels):
+        limbs, L, off = _merge_limb_pairs(limbs, L, off)
+    nl = limbs.shape[-1]
     base = (off >> 3).astype(jnp.int32)
-    sh = _u32(off & 7)
-    planes = [( _shl(masked, sh) & jnp.uint32(0xFF)).astype(jnp.int8)]
-    for j in range(1, 5):
-        shift = jnp.int32(8 * j) - (off & 7)
-        p = jnp.where(shift >= 32, jnp.uint32(0),
-                      masked >> _u32(jnp.minimum(shift, 31)))
+    s7 = (off & 7)[..., None]
+    su = _u32(s7)
+    lo = _shl(limbs, su)
+    hi_src = jnp.concatenate([jnp.zeros_like(limbs[..., :1]),
+                              limbs[..., :-1]], -1)
+    carry = jnp.where(s7 > 0,
+                      hi_src >> _u32(32 - jnp.minimum(s7, 31)),
+                      jnp.uint32(0))
+    vs = lo | carry                              # (F, C, nl)
+    top = jnp.where(s7[..., 0] > 0,
+                    limbs[..., -1] >> _u32(32 - jnp.minimum(s7[..., 0],
+                                                            31)),
+                    jnp.uint32(0))
+    nbytes = 4 * nl + 1                          # 32*nl + 7 bits
+    planes = []
+    for j in range(nbytes):
+        k = j >> 2
+        if k < nl:
+            p = vs[..., k] >> _u32(8 * (j & 3))
+        else:
+            p = top >> _u32(8 * (j & 3))
         planes.append((p & jnp.uint32(0xFF)).astype(jnp.int8))
-    planes = jnp.stack(planes, 1)       # (F, 5, C1)
+    planes = jnp.stack(planes, 1)                # (F, nbytes, C)
     oh = (base[:, :, None]
           == jnp.arange(wb, dtype=jnp.int32)[None, None, :]) \
-        .astype(jnp.int8)               # (F, C1, wb)
+        .astype(jnp.int8)                        # (F, C, wb)
     acc = jax.lax.dot_general(
         planes, oh, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.int32)   # (F, 5, wb)
+        preferred_element_type=jnp.int32)        # (F, nbytes, wb)
     out = acc[:, 0, :]
-    for j in range(1, 5):
+    for j in range(1, nbytes):
         out = out + jnp.pad(acc[:, j, :-j], ((0, 0), (j, 0)))
     return out.astype(jnp.uint8), total
 
@@ -435,7 +584,8 @@ class DeviceFastEncode:
                                 minval=b.minval, delta=b.delta,
                                 ident=ident, remap_digits=rdig))
             self.res_books.append(row)
-        # per-stage codeword tables stacked (possible, maxent)
+        # per-stage codeword tables: per-class (cw, cl) pairs for the
+        # width-grouped lookup plus the stacked padded form
         self.stage_tabs = []
         for s in range(self.stages):
             maxent = max((d["entries"] for d in self.res_books[s]
@@ -443,14 +593,18 @@ class DeviceFastEncode:
             cw = np.zeros((self.possible, maxent), np.uint32)
             cl = np.zeros((self.possible, maxent), np.int32)
             steps = np.ones(self.possible, np.int64)
+            cls_books = []
             for c, d in enumerate(self.res_books[s]):
                 if d is None:
+                    cls_books.append(None)
                     continue
                 bk = look.partbooks[c][s]
-                cw[c, :d["entries"]] = np.asarray(bk.codewords,
-                                                  np.uint64) \
+                bcw = np.asarray(bk.codewords, np.uint64) \
                     .astype(np.uint32)
-                cl[c, :d["entries"]] = np.asarray(bk.lengths)
+                bcl = np.asarray(bk.lengths, np.int32)
+                cls_books.append((bcw, bcl))
+                cw[c, :d["entries"]] = bcw
+                cl[c, :d["entries"]] = bcl
                 steps[c] = self.spp // d["dim"]
             max_steps = int(steps[[d is not None
                                    for d in self.res_books[s]]].max()
@@ -458,7 +612,7 @@ class DeviceFastEncode:
                                    for d in self.res_books[s]) else 1)
             self.stage_tabs.append(dict(
                 cw=cw, cl=cl, steps=steps, max_steps=max_steps,
-                maxent=maxent,
+                maxent=maxent, cls_books=cls_books,
                 maxlen=[int(cl[:, :].max())]))
         # phrase codewords
         ph = self.phrasebook
@@ -758,9 +912,27 @@ class DeviceFastEncode:
             krange = jnp.arange(ms, dtype=jnp.int32)
             inr = (krange[None, None, None, :] < nsteps[..., None]) \
                 & act[..., None] & ent_act
-            ev, el = onehot_table_lookup(
-                jnp.where(inr, e, 0), pw[..., None],
-                st["cw"], st["cl"])
+            # slot-range split: step slots >= k only belong to classes
+            # with steps > k, so later slots look up in a table WITHOUT
+            # the big low-step books (the 3^8 lattices all sit in the
+            # first few slots) — 4x fewer rows against the big table
+            e_in = jnp.where(inr, e, 0)
+            stepv = [int(st["steps"][c]) for c in range(cfg.possible)]
+            bounds = sorted({0, ms} | {v for c, v in enumerate(stepv)
+                                       if v < ms
+                                       and st["cls_books"][c]
+                                       is not None})
+            evs, els = [], []
+            for k0, k1 in zip(bounds[:-1], bounds[1:]):
+                books_k = [b if (b is not None and stepv[c] > k0)
+                           else None
+                           for c, b in enumerate(st["cls_books"])]
+                ev_k, el_k = grouped_table_lookup(
+                    e_in[..., k0:k1], pw[..., None], books_k)
+                evs.append(ev_k)
+                els.append(el_k)
+            ev = jnp.concatenate(evs, -1) if len(evs) > 1 else evs[0]
+            el = jnp.concatenate(els, -1) if len(els) > 1 else els[0]
             el = jnp.where(inr, el, 0)
             # pad partitions to nchunks*ppw
             if cfg.parts_pad != cfg.partvals:

@@ -430,16 +430,19 @@ class DeviceFloorFit:
             jnp.minimum, nxt[:, ::-1], axis=-1)[:, ::-1]
         nextu_after = jnp.concatenate(
             [nextu[:, 1:], jnp.full((B, 1), P, jnp.int32)], axis=1)
-        # ALL dynamic gathers stay in the tiny (B, P) space — XLA's
-        # TPU lowering serializes big computed-index gathers (~10ns per
-        # element), so (B, n)-sized dynamic gathers are the one thing
-        # this kernel must never do; static iv-expansion is fast
-        sxj = jnp.broadcast_to(jnp.asarray(xs.astype(np.int32)), (B, P))
-        lxp = jnp.take_along_axis(sxj, lastu, 1)
-        lyp = jnp.take_along_axis(ys, lastu, 1)
+        # ALL dynamic lookups stay in the tiny (B, P) space — XLA's
+        # TPU lowering serializes computed-index gathers (~10ns per
+        # element; even these (B, P) take_along_axis calls cost ~1 ms
+        # each at B=4096), so select from a (B, P, P) one-hot
+        # masked-sum instead: pure VPU work on ~14 MB
+        xs_i = jnp.asarray(xs.astype(np.int32))
         rzp = jnp.minimum(nextu_after, P - 1)
-        hxp = jnp.take_along_axis(sxj, rzp, 1)
-        hyp = jnp.take_along_axis(ys, rzp, 1)
+        ohl = lastu[:, :, None] == jar[None, None, :]   # (B, P, P)
+        ohr = rzp[:, :, None] == jar[None, None, :]
+        lxp = jnp.sum(jnp.where(ohl, xs_i[None, None, :], 0), -1)
+        lyp = jnp.sum(jnp.where(ohl, ys[:, None, :], 0), -1)
+        hxp = jnp.sum(jnp.where(ohr, xs_i[None, None, :], 0), -1)
+        hyp = jnp.sum(jnp.where(ohr, ys[:, None, :], 0), -1)
         hasr = nextu_after < P
         # static bin expansion
         lx = lxp[:, iv]

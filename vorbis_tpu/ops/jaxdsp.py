@@ -476,9 +476,16 @@ class DeviceToneMask:
                           * f32(0.1)).astype(jnp.int32),
                          0, self.p_levels - 1)
         rows = self.group_band * self.p_levels + level   # (..., G)
-        # one row gather for the whole curve (row gathers vectorize
-        # well; per-column dynamic gathers measured 40x slower)
-        curves = jnp.take(self.curve_rows, rows, axis=0)  # (...,G,2+E)
+        # whole-curve row lookup as a one-hot f32 matmul at HIGHEST
+        # precision: bf16x3 reconstructs each f32 exactly (verified
+        # bitwise == jnp.take), the MXU does the work, and XLA skips
+        # the gather's layout-fixup reshape+copy chain (~3.5 ms/batch)
+        oh = (rows[..., None]
+              == jnp.arange(self.curve_rows.shape[0],
+                            dtype=jnp.int32)).astype(jnp.float32)
+        curves = jax.lax.dot_general(
+            oh, self.curve_rows, (((oh.ndim - 1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)     # (..., G, 2+E)
         post0 = curves[..., 0].astype(jnp.int32)
         post1 = curves[..., 1].astype(jnp.int32)
         audible = (gmax + 6.0

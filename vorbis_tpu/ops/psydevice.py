@@ -52,64 +52,112 @@ f32 = np.float32
 # host-side frame annotations + scalar recurrences
 # ---------------------------------------------------------------------------
 
+def annotate_frames_nd(Ws, impulse):
+    """Batched annotate_frames: Ws/impulse (S, F) -> dict of (S, F)
+    arrays.  The per-step state updates are elementwise, so lanes
+    (streams) evolve independently and identically to the scalar
+    recurrence (block.c:620-638 + mapping0.c:1297-1305)."""
+    Ws = np.asarray(Ws, np.int64)
+    S, F = Ws.shape
+    one = np.ones((S, 1), np.int64)
+    lW = np.concatenate([one, Ws[:, :-1]], 1)
+    nW = np.concatenate([Ws[:, 1:], Ws[:, -1:]], 1)
+    bm = np.where(Ws == 1, np.where((lW == 1) & (nW == 1), 3, 2),
+                  np.where(impulse, 0, 1))
+    lW_bm = np.concatenate([np.zeros((S, 1), np.int64), bm[:, :-1]], 1)
+    # closed-form recurrences (the scalar loop is, per frame:
+    #   lW_no[f] = no; impad[f] = ip;
+    #   if m >= 2: ip = 0
+    #   if prev != 0 and m == 1: ip = 1
+    #   elif ip and ip < 8: ip += 1
+    #   no = no + 1 if prev == m else 1; prev = m
+    # — the reference runs them once per blob at the tail of the blob
+    # loop; unmanaged = once per frame):
+    ar = np.arange(F, dtype=np.int64)[None, :]
+    # no after frame f = length of the equal-bm run ending at f
+    # (initial no=0 means even a virtual-prev match restarts at 1)
+    chg = np.concatenate([np.ones((S, 1), bool),
+                          bm[:, 1:] != bm[:, :-1]], 1)
+    run_start = np.maximum.accumulate(np.where(chg, ar, 0), 1)
+    no_after = ar - run_start + 1
+    lW_no = np.concatenate([np.zeros((S, 1), np.int64),
+                            no_after[:, :-1]], 1)
+    # ip after frame f: 0 unless a trigger (m==1 following a nonzero
+    # bm) happened after the last m>=2 frame; then frames-since-
+    # trigger + 1, saturating at 8
+    trig = (bm == 1) & (lW_bm != 0)
+    kill = bm >= 2
+    t_last = np.maximum.accumulate(np.where(trig, ar, -1), 1)
+    k_last = np.maximum.accumulate(np.where(kill, ar, -1), 1)
+    ip_after = np.where(t_last > k_last,
+                        np.minimum(8, ar - t_last + 1), 0)
+    impad = np.concatenate([np.zeros((S, 1), np.int64),
+                            ip_after[:, :-1]], 1)
+    return dict(bm=bm, lW_bm=lW_bm, lW_no=lW_no, impadnum=impad,
+                nW=nW, lW=lW)
+
+
 def annotate_frames(Ws, impulse):
     """Per-frame block-sequence annotations in stream order.
 
     Ws: (F,) 0/1 window flags; impulse: (F,) bool (short blocks whose
     span contains an envelope mark).  Returns dict of int arrays:
     block_mode (== blocktype: 0 impulse, 1 padding, 2 transition,
-    3 long), lW_bm, lW_no, impadnum, nW, lW (block.c:620-638 +
-    mapping0.c:1297-1305)."""
-    F = len(Ws)
+    3 long), lW_bm, lW_no, impadnum, nW, lW."""
+    nd = annotate_frames_nd(np.asarray(Ws, np.int64)[None, :],
+                            np.asarray(impulse, bool)[None, :])
+    return {k: v[0] for k, v in nd.items()}
+
+
+def ampmax_seq_nd(lam, Ws, blocksizes, rate, att_per_sec):
+    """Batched _vp_ampmax_decay: lam/Ws (S, F) -> (S, F).  Per-step
+    float32 math is elementwise, so each lane reproduces the scalar
+    recurrence exactly (psy.c:4504)."""
+    lam = np.asarray(lam, np.float32)
     Ws = np.asarray(Ws, np.int64)
-    lW = np.concatenate([[1], Ws[:-1]])
-    nW = np.concatenate([Ws[1:], [Ws[-1]]])
-    bm = np.where(Ws == 1, np.where((lW == 1) & (nW == 1), 3, 2),
-                  np.where(impulse, 0, 1))
-    lW_bm = np.concatenate([[0], bm[:-1]])
-    lW_no = np.zeros(F, np.int64)
-    impad = np.zeros(F, np.int64)
-    no = 0
-    ip = 0
-    prev = 0
-    for f in range(F):
-        lW_no[f] = no
-        impad[f] = ip
-        m = int(bm[f])
-        # state updates (the reference runs them once per blob at the
-        # tail of the blob loop; unmanaged = once per frame)
-        if m >= 2:
-            ip = 0
-        if prev != 0 and m == 1:
-            ip = 1
-        elif ip and ip < 8:
-            ip += 1
-        if prev == m:
-            no += 1
-        else:
-            no = 1
-        prev = m
-    return dict(bm=bm, lW_bm=lW_bm, lW_no=lW_no, impadnum=impad,
-                nW=nW, lW=lW)
+    S, F = lam.shape
+    out = np.empty((S, F), np.float32)
+    amp = np.full(S, f32(-9999.0), np.float32)
+    att = f32(att_per_sec)
+    secs = np.array([f32(np.float32(blocksizes[w] // 2)
+                         / np.float32(rate)) for w in (0, 1)], np.float32)
+    dec = np.array([f32(secs[0] * att), f32(secs[1] * att)], np.float32)
+    floor = np.float32(-9999.0)
+    for fi in range(F):
+        amp = amp + dec[Ws[:, fi]]
+        np.maximum(amp, floor, out=amp)
+        np.maximum(amp, lam[:, fi], out=amp)
+        out[:, fi] = amp
+    return out
 
 
 def ampmax_seq(lam, Ws, blocksizes, rate, att_per_sec):
     """Exact _vp_ampmax_decay recurrence over one stream's frames.
     lam: (F,) per-frame local amplitude max (over channels);
     returns (F,) the global ampmax each frame's tonemask sees."""
-    F = len(lam)
-    out = np.empty(F, np.float32)
-    amp = f32(-9999.0)
-    att = f32(att_per_sec)
-    secs = [f32(np.float32(blocksizes[w] // 2) / np.float32(rate))
-            for w in (0, 1)]
+    return ampmax_seq_nd(np.asarray(lam, np.float32)[None, :],
+                         np.asarray(Ws, np.int64)[None, :],
+                         blocksizes, rate, att_per_sec)[0]
+
+
+def lowcomp_seq_nd(hi_th, bm, lW_bm, looks_mnt):
+    """Batched M5 latch: hi_th/bm/lW_bm (R, F) -> (R, F) (rows are
+    (stream, channel) pairs; channels of one stream share bm)."""
+    hi_th = np.asarray(hi_th, np.float32)
+    R, F = hi_th.shape
+    mv4 = np.array([looks_mnt[i][0] for i in range(4)], np.float64)
+    nt4 = np.array([looks_mnt[i][1] for i in range(4)], np.float64)
+    reset = (mv4[bm] < 0.5) | (nt4[bm] > 0.45)       # (R, F)
+    trans = ((bm == 2) & (lW_bm == 3)) | ((bm == 3) & (lW_bm == 2))
+    h = hi_th
+    lat = np.where(h > -40.0, -1.0,
+                   np.where(h < -50.0, 1.0, 1.0 - ((h + 50) / 10)))
+    out = np.empty((R, F), np.float32)
+    lc = np.zeros(R, np.float64)
     for fi in range(F):
-        amp = f32(amp + f32(secs[int(Ws[fi])] * att))
-        if amp < -9999:
-            amp = f32(-9999)
-        if lam[fi] > amp:
-            amp = f32(lam[fi])
-        out[fi] = amp
+        lc = np.where(reset[:, fi], -1.0,
+                      np.where(trans[:, fi], lat[:, fi], lc))
+        out[:, fi] = lc
     return out
 
 
@@ -118,26 +166,10 @@ def lowcomp_seq(hi_th, ann, looks_mnt):
     one channel.  hi_th: (F,) the probe's clamped band average
     sum(max(logmdct[n25p:n75p], -130))/n; looks_mnt: per block_mode
     (4,) tuples (m_val, normal_thresh) from the frame's psy params."""
-    F = len(hi_th)
-    out = np.empty(F, np.float32)
-    lc = 0.0
-    bm = ann["bm"]
-    lW_bm = ann["lW_bm"]
-    for fi in range(F):
-        m_val, nthr = looks_mnt[int(bm[fi])]
-        if m_val < 0.5 or nthr > 0.45:
-            lc = -1.0
-        elif ((bm[fi] == 2 and lW_bm[fi] == 3)
-              or (bm[fi] == 3 and lW_bm[fi] == 2)):
-            h = hi_th[fi]
-            if h > -40.0:
-                lc = -1.0
-            elif h < -50.0:
-                lc = 1.0
-            else:
-                lc = 1.0 - ((h + 50) / 10)
-        out[fi] = lc
-    return out
+    return lowcomp_seq_nd(np.asarray(hi_th, np.float32)[None, :],
+                          np.asarray(ann["bm"])[None, :],
+                          np.asarray(ann["lW_bm"])[None, :],
+                          looks_mnt)[0]
 
 
 def poste_seq(upt, unt, ann, n):
@@ -158,64 +190,64 @@ def poste_seq(upt, unt, ann, n):
 
 def m3_param_seq(ann, n2s, toneatt, hsrate, managed=False):
     """Per-frame M3 (set_m3p) parameters for the SHORT-block frames,
-    in stream order.  Returns dict of (F,) arrays (only meaningful
+    in stream order.  Pure elementwise math: ann arrays of any shape
+    ((F,) or batched (S, F)) give same-shaped outputs (only meaningful
     where sw=1, i.e. impulse blocks at hsrate)."""
-    bm = ann["bm"]
-    lW_bm = ann["lW_bm"]
-    lW_no = ann["lW_no"]
-    impad = ann["impadnum"]
-    F = len(bm)
-    sw = np.zeros(F, bool)
-    nr = np.zeros(F, np.float32)
-    nc = np.zeros(F, np.float32)
-    tr = np.zeros(F, np.float32)
-    reset = np.zeros(F, bool)
+    bm = np.asarray(ann["bm"])
+    lW_bm = np.asarray(ann["lW_bm"])
+    lW_no = np.asarray(ann["lW_no"], np.int64)
+    impad = np.asarray(ann["impadnum"], np.int64)
+    shape = bm.shape
     base = f32(5.0) if n2s == 128 else f32(10.0)
+    zf = np.zeros(shape, np.float32)
     if not hsrate or n2s not in (128, 256):
-        return dict(sw=sw, noise_rate=nr, noise_center=nc,
-                    tone_rate=tr, reset=reset, base=base)
-    for fi in range(F):
-        if bm[fi] != 0:
-            continue
-        sw[fi] = True
-        no = int(lW_no[fi])
-        if n2s == 128:
-            count = 2 if toneatt < 3 else 3
-            if lW_bm[fi] == 0:
-                if no < 8:
-                    nr[fi] = f32(0.7 - np.float64(
-                        f32(np.float32(no - 1) / np.float32(17))))
-                    nc[fi] = f32(no * count)
-                    tr[fi] = f32(8 - no)
-                else:
-                    nr[fi] = f32(0.3)
-                    nc[fi] = f32(25 if no * count >= 24 else no * count)
-                    tr[fi] = f32(0)
-            else:
-                nr[fi] = f32(0.7)
-                nc[fi] = f32(0)
-                tr[fi] = f32(8.0)
-                reset[fi] = True
-            if impad[fi]:
-                nr[fi] = f32(np.float64(nr[fi]) * (impad[fi] * 0.125))
-        else:
-            if lW_bm[fi] == 0:
-                if no < 4:
-                    nr[fi] = f32(0.4 - np.float64(
-                        f32(np.float32(no - 1) / np.float32(11))))
-                    nc[fi] = f32(no * 6 + 12)
-                    tr[fi] = f32(8 - no * 2)
-                else:
-                    nr[fi] = f32(0.2)
-                    nc[fi] = f32(30)
-                    tr[fi] = f32(0)
-            else:
-                nr[fi] = f32(0.6)
-                nc[fi] = f32(12)
-                tr[fi] = f32(8.0)
-                reset[fi] = True
-        if managed:
-            nr[fi] = f32(np.float64(nr[fi]) * 0.2)
+        return dict(sw=np.zeros(shape, bool), noise_rate=zf,
+                    noise_center=zf.copy(), tone_rate=zf.copy(),
+                    reset=np.zeros(shape, bool), base=base)
+    sw = bm == 0
+    no = lW_no
+    prev_imp = lW_bm == 0
+    if n2s == 128:
+        count = 2 if toneatt < 3 else 3
+        ramp = (np.float64(0.7)
+                - (((no - 1).astype(np.float32) / np.float32(17))
+                   .astype(np.float64))).astype(np.float32)
+        nr = np.where(prev_imp,
+                      np.where(no < 8, ramp, np.float32(0.3)),
+                      np.float32(0.7))
+        nc = np.where(prev_imp,
+                      np.where((no < 8) | (no * count < 24),
+                               (no * count).astype(np.float32),
+                               np.float32(25)),
+                      np.float32(0))
+        tr = np.where(prev_imp,
+                      np.where(no < 8, (8 - no).astype(np.float32),
+                               np.float32(0)),
+                      np.float32(8.0))
+        nr = np.where(impad != 0,
+                      (nr.astype(np.float64)
+                       * (impad * 0.125)).astype(np.float32), nr)
+    else:
+        ramp = (np.float64(0.4)
+                - (((no - 1).astype(np.float32) / np.float32(11))
+                   .astype(np.float64))).astype(np.float32)
+        nr = np.where(prev_imp,
+                      np.where(no < 4, ramp, np.float32(0.2)),
+                      np.float32(0.6))
+        nc = np.where(prev_imp,
+                      np.where(no < 4, (no * 6 + 12).astype(np.float32),
+                               np.float32(30)),
+                      np.float32(12))
+        tr = np.where(prev_imp,
+                      np.where(no < 4, (8 - no * 2).astype(np.float32),
+                               np.float32(0)),
+                      np.float32(8.0))
+    reset = sw & ~prev_imp
+    if managed:
+        nr = (nr.astype(np.float64) * 0.2).astype(np.float32)
+    nr = np.where(sw, nr, 0).astype(np.float32)
+    nc = np.where(sw, nc, 0).astype(np.float32)
+    tr = np.where(sw, tr, 0).astype(np.float32)
     return dict(sw=sw, noise_rate=nr, noise_center=nc, tone_rate=tr,
                 reset=reset, base=base)
 
