@@ -62,7 +62,7 @@ def main():
 
     rate = 44100
     secs = 60
-    nstreams = 8
+    nstreams = 16   # chip-filling batch; per-stream host work overlaps
     pcms = [_signal(secs, rate, s) for s in range(nstreams)]
 
     fe = FastEncoder(2, 44100, 0.5)

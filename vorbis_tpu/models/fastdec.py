@@ -163,10 +163,62 @@ class FastDecoder:
             ptr(out), C.c_long(outlen))
         return True
 
-    def decode_packets(self, pkts) -> np.ndarray:
+    def _device_imdct(self, spec, W, bs0, bs1, ch):
+        """IMDCT on the TPU for both W groups, batched over packets
+        (bit-exact: ops/mdct.py's vectorized butterfly stages preserve
+        the reference op order on device; verified by the device
+        decode matrix test).  Returns the same `groups`/`gidx` layout
+        the native path produces.  On a PCIe-attached TPU this moves
+        the decode drain's largest host cost to the MXU-adjacent
+        vector units; over this environment's tunnel the PCM
+        round-trip outweighs it (fastdec module docstring), so it is
+        opt-in."""
+        import jax
+        import jax.numpy as jnp
+        npkt = len(W)
+        if not hasattr(self, "_imdct_jit"):
+            self._imdct_jit = {}
+        groups = {}
+        gidx = np.zeros(npkt, np.int32)
+        pending = []
+        for Wv in (0, 1):
+            idx = np.where(W == Wv)[0]
+            if not len(idx):
+                continue
+            n = bs1 if Wv else bs0
+            stack = np.ascontiguousarray(
+                spec[idx][:, :, :n // 2].reshape(-1, n // 2))
+            # fixed-size chunks: one compiled shape per n
+            CH = 4096
+            G = stack.shape[0]
+            if n not in self._imdct_jit:
+                self._imdct_jit[n] = jax.jit(
+                    lambda s, n=n: imdct(s, n, xp=jnp))
+            f = self._imdct_jit[n]
+            outs = []
+            for o in range(0, G, CH):
+                blk = stack[o:o + CH]
+                if blk.shape[0] < CH:
+                    blk = np.concatenate(
+                        [blk, np.zeros((CH - blk.shape[0], n // 2),
+                                       np.float32)])
+                d = f(blk)
+                d.copy_to_host_async()
+                outs.append(d)
+            pending.append((Wv, idx, n, G, outs))
+        for Wv, idx, n, G, outs in pending:
+            blocks = np.concatenate([np.asarray(o) for o in outs])[:G]
+            blocks = np.ascontiguousarray(
+                blocks.reshape(len(idx), -1, n))
+            groups[Wv] = blocks
+            gidx[idx] = np.arange(len(idx), dtype=np.int32)
+        return groups, gidx
+
+    def decode_packets(self, pkts, device: bool = False) -> np.ndarray:
         """pkts: list of (packet_bytes, granulepos_or_None, eos).
         Returns (ch, N) float32 PCM, trimmed exactly like the scalar
-        blockin/granulepos state machine."""
+        blockin/granulepos state machine.  device=True runs the IMDCT
+        stage on the accelerator (see _device_imdct)."""
         vi = self.vi
         ch = vi.channels
         bs0, bs1 = vi.blocksizes
@@ -188,26 +240,35 @@ class FastDecoder:
         spec = res            # (npkt, ch, n2max) float32
 
         # ---- IMDCT per W group (native bit-exact kernel; numpy
-        # fallback is the same transform) ----
-        from ..native import imdct_batch
+        # fallback is the same transform; device=True batches it on
+        # the accelerator) ----
         pcm = [None] * npkt
-        groups = {}              # Wv -> (blocks (G, ch, n), group idx)
-        gidx = np.zeros(npkt, np.int32)
-        for Wv in (0, 1):
-            idx = np.where(W == Wv)[0]
-            if not len(idx):
-                continue
-            n = bs1 if Wv else bs0
-            stack = np.ascontiguousarray(
-                spec[idx][:, :, :n // 2].reshape(-1, n // 2))
-            blocks = imdct_batch(stack, n)
-            if blocks is None:
-                blocks = np.asarray(imdct(stack, n))
-            blocks = np.ascontiguousarray(blocks.reshape(len(idx), ch, n))
-            groups[Wv] = blocks
-            gidx[idx] = np.arange(len(idx), dtype=np.int32)
-            for j, k in enumerate(idx):
-                pcm[k] = blocks[j]
+        if device:
+            groups, gidx = self._device_imdct(spec, W, bs0, bs1, ch)
+            for Wv, blocks in groups.items():
+                idx = np.where(W == Wv)[0]
+                for j, k in enumerate(idx):
+                    pcm[k] = blocks[j]
+        else:
+            from ..native import imdct_batch
+            groups = {}          # Wv -> (blocks (G, ch, n), group idx)
+            gidx = np.zeros(npkt, np.int32)
+            for Wv in (0, 1):
+                idx = np.where(W == Wv)[0]
+                if not len(idx):
+                    continue
+                n = bs1 if Wv else bs0
+                stack = np.ascontiguousarray(
+                    spec[idx][:, :, :n // 2].reshape(-1, n // 2))
+                blocks = imdct_batch(stack, n)
+                if blocks is None:
+                    blocks = np.asarray(imdct(stack, n))
+                blocks = np.ascontiguousarray(
+                    blocks.reshape(len(idx), ch, n))
+                groups[Wv] = blocks
+                gidx[idx] = np.arange(len(idx), dtype=np.int32)
+                for j, k in enumerate(idx):
+                    pcm[k] = blocks[j]
 
         # ---- windowed scatter-add lapping ----
         lW = np.concatenate([[0], W[:-1]])
@@ -270,12 +331,51 @@ class FastDecoder:
         return out[:, lo:hi]
 
 
-def decode_ogg_fast(data: bytes):
+_DEC_CACHE = {}                  # header bytes -> FastDecoder
+_DEC_CACHE_MAX = 16
+
+
+def _decoder_for(header_pkts):
+    """FastDecoder memoized by the id+setup header bytes: codebook
+    construction (~40 ms) dominates short-stream decode and every
+    stream from one encoder config shares it."""
+    key = (header_pkts[0], header_pkts[2])
+    dec = _DEC_CACHE.get(key)
+    if dec is None:
+        vi = H.parse_headers(list(header_pkts))
+        dec = FastDecoder(vi)
+        if len(_DEC_CACHE) >= _DEC_CACHE_MAX:
+            _DEC_CACHE.pop(next(iter(_DEC_CACHE)))
+        _DEC_CACHE[key] = dec
+    return dec
+
+
+def decode_ogg_fast(data: bytes, device: bool = False):
     """Whole-stream fast decode; returns (pcm, vi).  Raises
-    FastDecodeUnsupported when the stream needs the scalar path."""
+    FastDecodeUnsupported when the stream needs the scalar path.
+    device=True runs the IMDCT stage on the accelerator."""
     from ..bitstream.oggfile import OggStreamReader
     rd = OggStreamReader(data)
     pkts = list(rd.packets())
-    vi = H.parse_headers([p for p, _, _ in pkts[:3]])
-    dec = FastDecoder(vi)
-    return dec.decode_packets(pkts[3:]), vi
+    dec = _decoder_for(tuple(p for p, _, _ in pkts[:3]))
+    return dec.decode_packets(pkts[3:], device=device), dec.vi
+
+
+def decode_ogg_fast_batch(streams, threads=None, device=False):
+    """Decode MANY independent Ogg streams concurrently.
+
+    The serial per-stream work is dominated by native C calls (packet
+    parse, IMDCT, lap-add) that release the GIL, so a thread pool
+    scales the drain across host cores the way the reference would
+    need one process per file (libvorbis is single-threaded;
+    SURVEY.md §2 'Parallelism strategies').  Returns a list of
+    (pcm, vi) in input order."""
+    from concurrent.futures import ThreadPoolExecutor
+    if threads is None:
+        import os
+        threads = min(8, os.cpu_count() or 1, max(1, len(streams)))
+    if threads <= 1 or len(streams) <= 1:
+        return [decode_ogg_fast(s, device=device) for s in streams]
+    with ThreadPoolExecutor(threads) as ex:
+        return list(ex.map(
+            lambda s: decode_ogg_fast(s, device=device), streams))
