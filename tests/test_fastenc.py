@@ -55,7 +55,7 @@ def test_fast_quality_on_tonal_content(tmp_path, fe):
     gg, _ = oracle.decode_float(pg)
     ef = np.sqrt(np.mean((gf - pcm[:, :gf.shape[1]]) ** 2))
     eg = np.sqrt(np.mean((gg - pcm[:, :gg.shape[1]]) ** 2))
-    assert ef < 2.0 * eg, (ef, eg)
+    assert ef < 1.2 * eg, (ef, eg)
 
 
 def test_fast_block_switching_on_click_train(tmp_path, fe):
@@ -107,11 +107,11 @@ def test_fast_block_switching_on_click_train(tmp_path, fe):
 
     pe_sw, pe_lo, pe_g = map(pre_echo, (d_sw, d_lo, d_g))
     assert pe_sw < pe_lo, (pe_sw, pe_lo)          # shorts help
-    assert pe_sw < 2.0 * pe_g, (pe_sw, pe_g)
+    assert pe_sw < 1.3 * pe_g, (pe_sw, pe_g)
     rms_sw = np.sqrt(np.mean((d_sw - pcm) ** 2))
     rms_g = np.sqrt(np.mean(
         (d_g[:, :pcm.shape[1]] - pcm[:, :d_g.shape[1]]) ** 2))
-    assert rms_sw < 1.5 * rms_g, (rms_sw, rms_g)
+    assert rms_sw < 1.25 * rms_g, (rms_sw, rms_g)
     # switching prices transients properly: smaller than long-only
     assert len(sw) < len(lo)
     # and our decoder accepts the mixed stream bit-cleanly
@@ -260,3 +260,70 @@ def test_fast_51_coupled(tmp_path):
     g = encode_vbr_stream(pcm, rate, 0.4)
     ratio = len(ogg) / len(g)
     assert 0.75 <= ratio <= 1.2, (len(ogg), len(g))
+
+
+def _seg_snr(ref, got, n=1024):
+    m = min(ref.shape[1], got.shape[1])
+    ref, got = ref[:, :m], got[:, :m]
+    snrs = []
+    for o in range(0, m - n, n):
+        s = np.mean(ref[:, o:o + n] ** 2)
+        e = np.mean((ref[:, o:o + n] - got[:, o:o + n]) ** 2)
+        if s > 1e-8:
+            snrs.append(10 * np.log10(max(s, 1e-12) / max(e, 1e-12)))
+    return float(np.mean(snrs))
+
+
+def test_fast_quality_corpus_vs_golden(tmp_path, fe):
+    """VERDICT r2 item 5: real quality gates.  Across a mixed corpus
+    (loud tones, click train, noise bursts, quiet-after-loud) the fast
+    path must stay within 1.2x the golden encoder's RMS error, within
+    2 dB of its segmental SNR, and not buy its (smaller) streams with
+    quality: the size window is asserted jointly with the error
+    bound."""
+    from vorbis_tpu.codec.encoder import encode_vbr_stream
+    rate = 44100
+    t1 = np.arange(rate) / rate
+    rng = np.random.RandomState(9)
+
+    def clicks():
+        m = (0.3 * np.sin(2 * np.pi * 440 * t1)).astype(np.float32)
+        for k in range(8):
+            m[int((k + 0.5) * rate / 8)] = 0.9
+        return np.stack([m, m])
+
+    def bursts():
+        x = 0.01 * rng.randn(rate)
+        for k in range(4):
+            a = int((k + 0.3) * rate / 4)
+            x[a:a + 3000] += 0.5 * rng.randn(3000)
+        return np.clip(np.stack([x, x * 0.8]), -1, 1).astype(np.float32)
+
+    def quiet_after_loud():
+        x = np.concatenate([
+            0.8 * np.sin(2 * np.pi * 600 * t1[:rate // 2]),
+            0.02 * np.sin(2 * np.pi * 900 * t1[:rate // 2])])
+        return np.stack([x, x]).astype(np.float32)
+
+    for name, gen in (("clicks", clicks), ("bursts", bursts),
+                      ("quiet_after_loud", quiet_after_loud)):
+        pcm = gen()
+        f = fe.encode(pcm)
+        g = encode_vbr_stream(pcm, rate, 0.5)
+        pf = str(tmp_path / "f.ogg")
+        pg = str(tmp_path / "g.ogg")
+        with open(pf, "wb") as fh:
+            fh.write(f)
+        with open(pg, "wb") as fh:
+            fh.write(g)
+        df, _ = oracle.decode_float(pf)
+        dg, _ = oracle.decode_float(pg)
+        m = min(df.shape[1], dg.shape[1], pcm.shape[1])
+        ef = np.sqrt(np.mean((df[:, :m] - pcm[:, :m]) ** 2))
+        eg = np.sqrt(np.mean((dg[:, :m] - pcm[:, :m]) ** 2))
+        assert ef < 1.2 * eg, (name, ef, eg)
+        sf = _seg_snr(pcm, df)
+        sg = _seg_snr(pcm, dg)
+        assert sf > sg - 2.0, (name, sf, sg)
+        ratio = len(f) / len(g)
+        assert 0.7 <= ratio <= 1.15, (name, len(f), len(g))

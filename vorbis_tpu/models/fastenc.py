@@ -629,65 +629,320 @@ class FastEncoder:
                 marks[si][s:s + take] = dn[j, lo:lo + take]
         return marks
 
-    def _schedule(self, marks, ns):
-        """Envelope marks -> block schedule.  Returns (centers, W)
-        int64 arrays in padded-stream coordinates (front pad = hop);
-        mirrors the blockout decision: a long block whose window span
-        contains a mark becomes short (block.c:557-812, envelope.c
-        _ve_envelope_mark span logic).
+    def _edge_pads(self, pcm, hop, tail, src=None):
+        """LPC stream-edge extensions for the lap pads (reference:
+        block.c:438-477 pre-extrapolation, 497-537 eof tail): the
+        front pad continues the signal BACKWARD (order 16), the tail
+        pad FORWARD (order 32, capped at 3 long blocks like the
+        reference), so the envelope detector and psy model see a
+        smooth lead-in/out instead of zero-pad edges — which read as
+        transients and cost short blocks + bits the reference never
+        spends.  Returns host arrays in the input dtype.  src: an
+        optional (head, tail) pair of already-prefetched edge slices
+        (encode_batch issues all streams' edge fetches async before
+        draining any, so the tunnel round-trips overlap)."""
+        from ..utils.lpc import lpc_extrapolate
+        ch, ns = pcm.shape
+        n1 = self.n
+        w = int(min(ns, 4 * n1))
+        if src is not None:
+            head = np.asarray(src[0])
+            tsrc = np.asarray(src[1])
+        else:
+            head = np.asarray(pcm[:, :w])
+            tsrc = np.asarray(pcm[:, ns - w:])
+        dt = np.dtype(str(pcm.dtype))
+        i16 = dt == np.int16
+        sc = np.float32(1.0 / 32768.0) if i16 else np.float32(1.0)
+        front = np.stack([
+            lpc_extrapolate(head[c, ::-1].astype(np.float32) * sc,
+                            16, hop)[::-1] for c in range(ch)])
+        text = int(min(tail, 3 * n1))
+        tl = np.stack([
+            lpc_extrapolate(tsrc[c].astype(np.float32) * sc, 32, text)
+            for c in range(ch)])
+        if i16:
+            front = np.clip(np.rint(front * 32768.0), -32768, 32767)
+            tl = np.clip(np.rint(tl * 32768.0), -32768, 32767)
+        tailbuf = np.zeros((ch, tail), dt)
+        tailbuf[:, :text] = tl.astype(dt)
+        return front.astype(dt), tailbuf
 
-        Mark-free stretches (the common case) bulk-emit their long
-        runs arithmetically — from a long-long steady state the
-        look-ahead window is mark-free exactly while
-        c <= 64*next_mark - K — so scheduling costs O(marks), not
-        O(blocks)."""
+    _RESCUE_PAD = 30     # steps: stretch re-saturates after 24
+                         # trigger-free steps, plus mark spill margin
+
+    def _env_obj(self):
+        if not hasattr(self, "_env_rescue_obj"):
+            from ..ops.jaxdsp import DeviceEnvelope
+            self._env_rescue_obj = DeviceEnvelope(
+                self.setup.psy_global, self.ch)
+        return self._env_rescue_obj
+
+    def _fetch_env_rows(self, x64, rows):
+        """Gather 64-sample rows from the (device-resident) stream
+        array to host f32, in fixed-size buckets (one compiled shape;
+        all buckets dispatched before any is drained so the tunnel
+        round-trips overlap)."""
+        NR = 512
+        if not hasattr(self, "_rescue_fetch"):
+            @jax.jit
+            def fetch(x, r):
+                sl = jnp.take(x, r, axis=1)
+                if sl.dtype != jnp.float32:
+                    sl = sl.astype(jnp.float32) / np.float32(32768.0)
+                return sl
+            self._rescue_fetch = fetch
+        pend = []
+        for o in range(0, len(rows), NR):
+            r = rows[o:o + NR]
+            rp = np.zeros(NR, np.int32)
+            rp[:len(r)] = r
+            d = self._rescue_fetch(x64, jnp.asarray(rp))
+            d.copy_to_host_async()
+            pend.append((d, len(r)))
+        return np.concatenate(
+            [np.asarray(d)[:, :l] for d, l in pend], 1)
+
+    def _stretch_rescue(self, x64, metas, marks):
+        """Exact envelope `stretch` hysteresis around candidate marks.
+
+        The batched detector runs at the steady-state stretch and
+        penalty (envelope.c's serial feedback would serialize 8k tiny
+        steps per chunk), which over-triggers right after an impulse —
+        measured ~1.7x the golden encoder's short-block count on
+        transient content.  Steady regions (>= 24 trigger-free steps)
+        ARE exact, and any trigger is itself a steady-state candidate,
+        so only candidate neighborhoods need fixing: dilate candidate
+        clusters, fetch their PCM rows (ONE overlapped transfer for
+        every cluster of every stream), recompute the band amplitudes
+        (DeviceEnvelope.accs_np) and replay the reference's serial
+        walk (_ve_envelope_search: stretch grows to 2*VE_MAXSTRETCH,
+        resets on a pre-echo trigger; the pre-window and penalty
+        follow stretch//2) over each cluster, replacing its marks."""
+        from ..ops import envelope as ENV
+        gi = self.setup.psy_global
+        env = self._env_obj()
+        sp_pen = float(gi["stretch_penalty"])
+        pre_t = np.asarray(gi["preecho_thresh"], np.float32)
+        post_t = np.asarray(gi["postecho_thresh"], np.float32)
+        PAD = self._RESCUE_PAD
+        SMAX = 2 * ENV.VE_MAXSTRETCH
+        MNS = ENV.VE_MINSTRETCH
+        MXS = ENV.VE_MAXSTRETCH
+        K_long = 3 * (self.n // 4) + self.vi.blocksizes[0] // 4
+        lead = 17 + 14       # nearDC window + pre-window lead-in
+
+        # --- phase 1: cluster discovery across ALL streams
+        jobs = []
+        all_rows = []
+        rofs = 0
+        for (ns, base, Si), mk in zip(metas, marks):
+            nst = len(mk)
+            # marks past the schedule's look-ahead horizon (tail pad
+            # territory) can't change any block decision
+            reach = min(nst,
+                        (self.n // 2 + ns + K_long) // 64 + PAD)
+            cand = np.flatnonzero(mk[:reach])
+            if not len(cand):
+                continue
+            clusters = []
+            a = b = int(cand[0])
+            for c in cand[1:]:
+                if c - b <= 2 * PAD:
+                    b = int(c)
+                else:
+                    clusters.append((a, b))
+                    a = b = int(c)
+            clusters.append((a, b))
+            for a, b in clusters:
+                w0 = max(0, a - PAD)
+                w1 = min(nst, b + PAD)
+                r0 = max(0, w0 - lead)
+                rhi = min(Si // 64, w1 + 2)
+                jobs.append([mk, nst, base, Si, w0, w1, b, r0, rofs,
+                             rhi - r0])
+                all_rows.append(base + np.arange(r0, rhi))
+                rofs += rhi - r0
+        if not jobs:
+            return
+        fr_all = self._fetch_env_rows(x64, np.concatenate(all_rows))
+
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        # --- phase 2: exact serial walk per cluster
+        for mk, nst, base, Si, w0, w1, b, r0, ro, nr in jobs:
+            fr = fr_all[:, ro:ro + nr]
+            while True:
+                frames = np.concatenate([fr[:, :-1], fr[:, 1:]], -1)
+                acc = env.accs_np(frames)        # (ch, nr-1, 12)
+                # zero history before the stream head, like the
+                # scalar's zero-initialized ampbuf
+                zpad = MXS + 2
+                accp = np.concatenate(
+                    [np.zeros((self.ch, zpad, 12), np.float32), acc],
+                    1)
+                # per-su pre-window extrema tables (vectorized);
+                # window starting at p covers acc rows [p, p+su)
+                tabs = {}
+                for su in range(MNS, MXS + 1):
+                    sw_ = sliding_window_view(accp, su, axis=1)
+                    tabs[su] = (sw_.max(-1), sw_.min(-1))
+                prev = np.concatenate(
+                    [np.zeros((self.ch, 1, 12), np.float32),
+                     acc[:, :-1]], 1)
+                postmax = np.maximum(acc, prev)
+                postmin = np.minimum(acc, prev)
+                # trigger decisions vectorized over the window per
+                # distinct (pre-window, penalty) combo; the serial
+                # walk then just indexes booleans
+                I = np.arange(w0, w1) - r0
+                trig_tab = {}
+
+                def trig(s2):
+                    su = max(MNS, s2)
+                    pen = np.float32(
+                        min(max(sp_pen - (s2 - MNS), 0.0), sp_pen))
+                    key = (su, float(pen))
+                    if key not in trig_tab:
+                        pmx, pmn = tabs[su]
+                        pw = I - 1 - su + zpad
+                        t1 = ((postmax[:, I] - pmx[:, pw])
+                              > (pre_t + pen)).any(-1).any(0)
+                        t2 = ((postmin[:, I] - pmn[:, pw])
+                              < (post_t - pen)).any(-1).any(0)
+                        trig_tab[key] = (t1, t2)
+                    return trig_tab[key]
+
+                newmk = np.zeros(w1 - w0 + 2, bool)
+                stretch = SMAX
+                retrig_tail = False
+                for j in range(w0, w1):
+                    stretch = min(stretch + 1, SMAX)
+                    t1, t2 = trig(stretch // 2)
+                    k = j - w0
+                    if t1[k]:
+                        newmk[k] = True
+                        newmk[k + 1] = True
+                    if t2[k]:
+                        newmk[k] = True
+                        if k > 0:
+                            newmk[k - 1] = True
+                    if t1[k]:
+                        stretch = -1
+                        if j >= w1 - (SMAX + 2):
+                            retrig_tail = True
+                if retrig_tail and w1 < nst:
+                    b = w1 + PAD       # trigger near the window end:
+                    w1 = min(nst, b + PAD)   # stretch state leaks on
+                    rhi = min(Si // 64, w1 + 2)
+                    fr = self._fetch_env_rows(
+                        x64, base + np.arange(r0, rhi))
+                    continue
+                mk[w0:w1] = newmk[:w1 - w0]
+                if w1 < nst and newmk[w1 - w0]:
+                    mk[w1] = True
+                break
+
+
+    def _schedule(self, marks, ns):
+        """Envelope marks -> block schedule, replicating the reference
+        blockout / envelope_search state machine (block.c:557-812,
+        envelope.c:569-735): W starts 0, a persistent scan cursor
+        walks the mark array, a mark strictly after the current center
+        and before testW = center + bs[W]/4 + bs[1]/2 + bs[0]/4 makes
+        the NEXT block short, and the SAME mark keeps blocks short
+        until the center passes it (the cursor only moves forward).
+        The impulse flag mirrors envelope_mark (span marks or the
+        consumed curmark).  Returns (centers, Ws, impulse) in
+        padded-stream coordinates (front pad = hop).
+
+        Mark-free long-long stretches bulk-emit arithmetically — the
+        next block is long exactly while center <= next_mark - K — so
+        scheduling costs O(marks), not O(blocks)."""
         n1 = self.n
         n0 = self.vi.blocksizes[0]
+        bs = (n0, n1)
         hop = n1 // 2
         marks = np.asarray(marks, bool)
         nmk = len(marks)
-        mark_steps = np.flatnonzero(marks)
+        end_c = hop + ns
+        if n0 == n1:
+            # single-blocksize template: one mode; keep the "main"
+            # label the batched pipeline keys on
+            k = (end_c - 1 - hop) // hop + 1
+            cs = hop + hop * np.arange(k + 1, dtype=np.int64)
+            return (cs, np.ones(k + 1, np.int64),
+                    np.zeros(k + 1, bool))
+        mpos = np.flatnonzero(marks).astype(np.int64) * 64
         mc = np.concatenate([[0], np.cumsum(marks.astype(np.int64))])
+        limit = 64 * nmk
+        K_long = 3 * (n1 // 4) + n0 // 4
 
-        def anymark(b, e):
-            b = max(0, min(b, nmk))
-            e = max(0, min(e, nmk))
+        def anymark(b_abs, e_abs):
+            b = max(0, min(b_abs // 64, nmk))
+            e = max(0, min((e_abs + 63) // 64, nmk))
             return e > b and mc[e] > mc[b]
 
-        segs_c = [np.array([hop], np.int64)]
-        segs_W = [np.array([1], np.int64)]  # first block long (pad)
-        c, Wp = hop, 1
-        end_c = hop + ns
-        K_long = 3 * (n1 // 4) + n0 // 4  # long-long look-ahead span
-        while c < end_c:
-            if Wp == 1:
-                mi = int(np.searchsorted(mark_steps, c // 64))
-                if mi < len(mark_steps):
-                    cap = min(64 * int(mark_steps[mi]) - K_long,
-                              end_c - 1)
-                else:
-                    cap = end_c - 1
-                if cap >= c:
-                    k = (cap - c) // hop + 1
-                    arr = c + hop * np.arange(1, k + 1, dtype=np.int64)
+        segs_c, segs_W, segs_I = [], [], []
+        centerW = hop
+        W = 0                      # _vds_shared_init starts W=0
+        cursor = hop               # EnvelopeLookup: blocksizes[1]//2
+        curmark = 0
+        one = np.ones(1, np.int64)
+        while True:
+            # bulk: long steady state with the next mark out of reach
+            if W == 1 and centerW < end_c:
+                j0 = max(cursor, centerW + 64)
+                mi = int(np.searchsorted(mpos, j0))
+                m_abs = int(mpos[mi]) if mi < len(mpos) else None
+                cap = (m_abs if m_abs is not None else limit) - K_long
+                cap = min(cap, end_c - 1)
+                if cap >= centerW + hop:
+                    k = (cap - centerW) // hop + 1
+                    arr = centerW + hop * np.arange(k, dtype=np.int64)
                     segs_c.append(arr)
                     segs_W.append(np.ones(k, np.int64))
-                    c = int(arr[-1])
+                    segs_I.append(np.zeros(k, bool))
+                    last_testW = int(arr[-1]) + K_long
+                    cursor = max(cursor,
+                                 ((last_testW - 1) // 64) * 64)
+                    centerW = int(arr[-1]) + hop
                     continue
-            adv_p = (n1 if Wp else n0) // 4
-            c_long = c + adv_p + n1 // 4
-            b0 = (c_long - n1 // 4 - adv_p) // 64
-            e0 = (c_long + n1 // 4 + n0 // 4 + 63) // 64
-            if anymark(b0, e0):
-                W = 0
-                c = c + adv_p + n0 // 4
+            # serial: envelope_search in absolute coordinates
+            testW = centerW + bs[W] // 4 + n1 // 2 + n0 // 4
+            mi = int(np.searchsorted(mpos, cursor))
+            m_abs = None
+            while mi < len(mpos):
+                if mpos[mi] > centerW:
+                    m_abs = int(mpos[mi])
+                    break
+                mi += 1
+            if m_abs is not None and m_abs < testW:
+                bp = 0
+                cursor = m_abs
+                curmark = m_abs
+            elif testW <= limit:
+                bp = 1
+                cursor = max(cursor, ((testW - 1) // 64) * 64)
             else:
-                W = 1
-                c = c_long
-            segs_c.append(np.array([c], np.int64))
-            segs_W.append(np.array([W], np.int64))
-            Wp = W
-        return np.concatenate(segs_c), np.concatenate(segs_W)
+                bp = -1            # end of analyzable data -> short
+                cursor = max(cursor, ((limit - 1) // 64) * 64)
+            nW = 1 if bp == 1 else 0
+            if W == 0:
+                b0 = centerW - n0 // 4 - n0 // 4
+                e0 = centerW + n0 // 4 + n0 // 4
+                imp = anymark(b0, e0) or (b0 <= curmark < e0)
+            else:
+                imp = False
+            segs_c.append(np.array([centerW], np.int64))
+            segs_W.append(one * W)
+            segs_I.append(np.array([imp]))
+            if centerW >= end_c:
+                break
+            centerW = centerW + bs[W] // 4 + bs[nW] // 4
+            W = nW
+        return (np.concatenate(segs_c), np.concatenate(segs_W),
+                np.concatenate(segs_I))
 
     # -- stateful two-phase pipeline --------------------------------------
     def _probe_step(self, W, B):
@@ -776,9 +1031,8 @@ class FastEncoder:
                     else np.zeros(min(B, max(F - b, 1)), np.int64),
                     B, 3)
                 lmd = self._pad_to(lmodes[b:b + B], B)
-                o = step(x64, jnp.asarray(sl.astype(np.int32)),
-                         jnp.asarray(wd.astype(np.int32)),
-                         jnp.asarray(lmd.astype(np.int32)))
+                o = step(x64, jnp.asarray(
+                    np.stack([sl, wd, lmd]).astype(np.int32)))
                 for a in o[6:]:
                     a.copy_to_host_async()
                 outs.append(o)
@@ -926,47 +1180,42 @@ class FastEncoder:
                     if (hsrate and W == 1) or (W == 0 and m3
                                                is not None)
                     else jnp.zeros((B * ch, n2L), jnp.float32))
-                m3b = None
+                m3v = None
                 if W == 0 and m3 is not None:
-                    m3b = {k: jnp.asarray(self._pad_to(v[s], B))
-                           for k, v in m3.items()}
+                    m3v = jnp.asarray(np.stack(
+                        [self._pad_to(m3[k][s], B).astype(np.float32)
+                         for k in ("sw", "noise_rate", "noise_center",
+                                   "tone_rate", "reset",
+                                   "impad_zero")]))
                 wd = self._pad_to(
                     wids[s] if wids is not None
                     else np.zeros(B, np.int64), B, 3)
-                pk, nb = step(
-                    o[0], o[1], o[2], o[3], o[4], lastm, o[6],
-                    jnp.asarray(self._pad_to(amp[s], B, -9999.0)),
-                    jnp.asarray(self._pad_to(lc[sr], B * ch, -1.0)),
-                    jnp.asarray(self._pad_to(po[sr], B * ch, -1.0)),
-                    jnp.asarray(self._pad_to(tr[s], B, False)
-                                if tr is not None
-                                else np.zeros(B, bool)),
-                    jnp.asarray(wd.astype(np.int32)), m3b)
+                fstate = jnp.asarray(np.concatenate([
+                    self._pad_to(amp[s], B, -9999.0)
+                    .astype(np.float32),
+                    self._pad_to(lc[sr], B * ch, -1.0)
+                    .astype(np.float32),
+                    self._pad_to(po[sr], B * ch, -1.0)
+                    .astype(np.float32),
+                    (self._pad_to(tr[s], B, False) if tr is not None
+                     else np.zeros(B, bool)).astype(np.float32),
+                    wd.astype(np.float32)]))
+                pk, nb = step(o[0], o[1], o[2], o[3], o[4], lastm,
+                              o[6], fstate, m3v)
                 pk.copy_to_host_async()
                 nb.copy_to_host_async()
-                pend.append((bi, pk, nb, lastm, m3b, wd))
+                pend.append((bi, pk, nb, lastm, m3v, fstate))
             # drain + oversized redo
             pks, nbs = [], []
-            for bi, pk, nb, lastm, m3b, wd in pend:
+            for bi, pk, nb, lastm, m3v, fstate in pend:
                 pkb = np.asarray(pk)
                 nbb = np.asarray(nb)
                 if (nbb > wb * 8).any():
                     big = self._finish_step(W, B,
                                             devW.plan.worst_bytes)
                     o = outs[bi]
-                    s = slice(bi * B, (bi + 1) * B)
-                    sr = slice(bi * B * ch, (bi + 1) * B * ch)
-                    pk2, nb2 = big(
-                        o[0], o[1], o[2], o[3], o[4], lastm, o[6],
-                        jnp.asarray(self._pad_to(amp[s], B, -9999.0)),
-                        jnp.asarray(self._pad_to(lc[sr], B * ch,
-                                                 -1.0)),
-                        jnp.asarray(self._pad_to(po[sr], B * ch,
-                                                 -1.0)),
-                        jnp.asarray(self._pad_to(
-                            tr[s], B, False) if tr is not None
-                            else np.zeros(B, bool)),
-                        jnp.asarray(wd.astype(np.int32)), m3b)
+                    pk2, nb2 = big(o[0], o[1], o[2], o[3], o[4],
+                                   lastm, o[6], fstate, m3v)
                     pkb = np.asarray(pk2)
                     nbb = np.asarray(nb2)
                 pks.append(pkb)
@@ -984,9 +1233,13 @@ class FastEncoder:
         pk_l, nb_l = run_finish(1, pa_l, B_long, amp_l, lc_l, po_l,
                                 tr_l, prev_l, wd_l, None)
         if nshort:
+            # per-frame blocktype flag for shorts: padding (bm==1)
+            # selects the alternate noise-bias curve
+            pad_s = np.concatenate(
+                [a["bm"][r["si"]] for a, r in zip(anns, per)]) == 1
             pk_s, nb_s = run_finish(
                 0, pa_s, B_short, amp_s, lc_s,
-                np.full(nshort * ch, -1.0, np.float32), None, prev_s,
+                np.full(nshort * ch, -1.0, np.float32), pad_s, prev_s,
                 None, m3_fields if hsrate else None)
         else:
             pk_s = np.zeros((0, 1), np.uint8)
@@ -1077,25 +1330,40 @@ class FastEncoder:
         # 1) concatenated padded 64-sample-row layout (per-stream
         # front/tail pads keep gathers from ever crossing streams)
         minS = (self._ENV_STEPS + 1) * 64 if sw else 0
+        # prefetch every device-resident stream's edge slices BEFORE
+        # draining any: the per-stream LPC pads then cost one
+        # overlapped transfer wave instead of 2 round-trips each
+        edge_srcs = []
+        for pcm in pcms:
+            if isinstance(pcm, jax.Array):
+                ns = int(pcm.shape[1])
+                w = int(min(ns, 4 * self.n))
+                h = pcm[:, :w]
+                t = pcm[:, ns - w:]
+                h.copy_to_host_async()
+                t.copy_to_host_async()
+                edge_srcs.append((h, t))
+            else:
+                edge_srcs.append(None)
         metas, parts = [], []
         base = 0
-        for pcm in pcms:
+        for pcm, esrc in zip(pcms, edge_srcs):
             assert pcm.shape[0] == ch
             ns = int(pcm.shape[1])
             Si = ((ns + hop + 4 * hop + 63) // 64) * 64 + 64
             Si = max(Si, minS)
             tail = Si - ns - hop
             if isinstance(pcm, jax.Array):
-                xd = jnp.pad(pcm, ((0, 0), (hop, tail)))
+                front, tailbuf = self._edge_pads(pcm, hop, tail,
+                                                 src=esrc)
+                xd = jnp.concatenate(
+                    [jax.device_put(front), pcm,
+                     jax.device_put(tailbuf)], 1)
             else:
-                if pcm.dtype == np.int16:
-                    zdt = np.int16
-                else:
+                if pcm.dtype != np.int16:
                     pcm = pcm.astype(np.float32, copy=False)
-                    zdt = pcm.dtype
-                x = np.concatenate(
-                    [np.zeros((ch, hop), zdt), pcm,
-                     np.zeros((ch, tail), zdt)], 1)
+                front, tailbuf = self._edge_pads(pcm, hop, tail)
+                x = np.concatenate([front, pcm, tailbuf], 1)
                 xd = jax.device_put(x)
             parts.append(xd.reshape(ch, Si // 64, 64))
             metas.append((ns, base, Si))
@@ -1107,9 +1375,11 @@ class FastEncoder:
                      if p.dtype != jnp.float32 else p for p in parts]
         x64 = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 1)
 
-        # 2) envelope marks (all streams batched)
+        # 2) envelope marks (all streams batched) + exact-stretch
+        # rescue around candidate clusters
         if sw:
             marks = self._envelope_marks_multi(x64, metas)
+            self._stretch_rescue(x64, metas, marks)
         else:
             marks = [np.zeros(Si // 64 - 1, bool)
                      for (_, _, Si) in metas]
@@ -1119,7 +1389,7 @@ class FastEncoder:
         gl_st, gl_wd, gs_st = [], [], []
         nlong = nshort = 0
         for (ns, brow, Si), mk in zip(metas, marks):
-            cs, Ws = self._schedule(mk, ns)
+            cs, Ws, impulse = self._schedule(mk, ns)
             lW = np.concatenate([[1], Ws[:-1]])
             nW = np.concatenate([Ws[1:], [Ws[-1]]])
             bsz = np.where(Ws == 1, self.n, n0)
@@ -1127,12 +1397,6 @@ class FastEncoder:
             wid = (lW * 2 + nW).astype(np.int64)
             li = np.where(Ws == 1)[0]
             si = np.where(Ws == 0)[0]
-            # impulse vs padding for short blocks: any envelope mark
-            # inside the block span (block.c blocktype assignment)
-            mc = np.concatenate([[0], np.cumsum(mk.astype(np.int64))])
-            b0 = np.clip((cs - n0 // 2) // 64, 0, len(mk))
-            e0 = np.clip((cs + n0 // 2 + 63) // 64, 0, len(mk))
-            impulse = (Ws == 0) & (mc[e0] > mc[b0])
             per.append(dict(cs=cs, Ws=Ws, li=li, si=si, ns=ns,
                             lofs=nlong, sofs=nshort, starts=starts,
                             wid=wid, impulse=impulse))

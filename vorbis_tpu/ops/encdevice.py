@@ -1629,7 +1629,9 @@ class DeviceFastEncode:
         da = self.ctx.analysis
         look = da.look
 
-        def step(x64, starts, wid, lmode):
+        def step(x64, svec):
+            # svec (3, F) int32: one upload per batch instead of three
+            starts, wid, lmode = svec[0], svec[1], svec[2]
             if x64.dtype != jnp.float32:
                 x64 = x64.astype(jnp.float32) / f32(32768.0)
             rows = (starts[:, None] // 64
@@ -1679,7 +1681,26 @@ class DeviceFastEncode:
         from . import psydevice as PD
 
         def step(md, logmdct, logfft, fit1, dB, lastmdct, lam,
-                 ampmax, lowcomp, poste, trans, wid, m3):
+                 fstate, m3vec):
+            # fstate packs [ampmax (F), lowcomp (F*ch), poste (F*ch),
+            # trans (F), wid (F)] as ONE f32 upload per batch; m3vec
+            # (6, F) likewise for the short-mode M3 fields
+            o = 0
+            ampmax = fstate[o:o + F]
+            o += F
+            lowcomp = fstate[o:o + F * ch]
+            o += F * ch
+            poste = fstate[o:o + F * ch]
+            o += F * ch
+            trans = fstate[o:o + F] > f32(0.5)
+            o += F
+            wid = fstate[o:o + F].astype(jnp.int32)
+            m3 = None
+            if m3vec is not None:
+                m3 = dict(sw=m3vec[0] > f32(0.5), noise_rate=m3vec[1],
+                          noise_center=m3vec[2], tone_rate=m3vec[3],
+                          reset=m3vec[4] > f32(0.5),
+                          impad_zero=m3vec[5] > f32(0.5))
             kind = "long" if self.W else "short"
             logmask, epeak, npeak = PD.noisemask_tail(
                 look, logmdct, fit1, dB, lowcomp, poste, lastmdct,
@@ -1687,8 +1708,14 @@ class DeviceFastEncode:
                 trans_active=jnp.repeat(trans, ch) if self.W else None)
             amp_rows = jnp.repeat(ampmax, ch)
             tone = da.tonemask(logfft, amp_rows, lam)
-            val = jnp.minimum(logmask + da.noiseoffsets[1],
-                              da.noisemaxsupp)
+            # per-frame blocktype: trans flags transitional longs
+            # (blocktype 2 vs 3) / padding shorts (1 vs 0); the noise
+            # bias curve is the only psy param that differs between
+            # the paired blocktypes in every reference template
+            alt = jnp.repeat(trans, ch)[:, None]
+            noff = jnp.where(alt, da.noiseoffsets_alt[1],
+                             da.noiseoffsets[1])
+            val = jnp.minimum(logmask + noff, da.noisemaxsupp)
             tval = tone + da.toneatt1
             tval = PD.lowcompand_tval(look, tval, lowcomp, 1)
             if not self.W and m3 is not None:

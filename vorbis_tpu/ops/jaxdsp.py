@@ -229,6 +229,21 @@ class DeviceAnalysis:
         self.noiseoffsets = jnp.asarray(
             np.asarray(look.noiseoffset, np.float32)[:, :n2])
         self.noiseoffset = self.noiseoffsets[1]
+        # per-frame blocktype support: the ONLY psy param that differs
+        # between the paired blocktypes (impulse vs padding,
+        # transition vs long) in EVERY reference template is the
+        # noise-bias curve, so mixed-blocktype batches reduce to
+        # selecting between two noiseoffset rows per frame (the
+        # trans/impulse flag rides the finish step)
+        alt_bt = {0: 1, 1: 0, 2: 3, 3: 2}.get(blocktype, blocktype)
+        alt_bt = min(alt_bt, len(setup.psy_params) - 1)
+        if alt_bt != blocktype:
+            alt_look = PSY.PsyLook(setup.psy_params[alt_bt],
+                                   setup.psy_global, n2, rate)
+            self.noiseoffsets_alt = jnp.asarray(
+                np.asarray(alt_look.noiseoffset, np.float32)[:, :n2])
+        else:
+            self.noiseoffsets_alt = self.noiseoffsets
         self.ath = jnp.asarray(np.asarray(look.ath, np.float32))
         self.noisemaxsupp = f32(look.vi["noisemaxsupp"])
         self.toneatts = [f32(a) for a in look.vi["tone_masteratt"]]
@@ -611,6 +626,33 @@ class DeviceEnvelope:
         """x: (ch, S) f32 PCM (S multiple of 64) -> (S//64 - 1,) bool
         mark flags, one per 64-sample search window."""
         return self.marks_nd(x[:, None, :])[0]
+
+    def accs_np(self, frames):
+        """Per-step band amplitudes on the host: frames (ch, steps,
+        128) f32 -> (ch, steps, 12) f32, same math as marks_nd (the
+        stretch-rescue pass re-derives exact trigger decisions from
+        these around candidate clusters).  The 16-step nearDC window
+        needs ~16 steps of lead-in before the steps whose accs are
+        consumed."""
+        win = np.asarray(self.mdct_win)
+        B = _mdct_basis(128)
+        vec = ((frames * win) @ B).astype(np.float32)
+        temp = (vec[..., 0] * vec[..., 0]
+                + f32(0.7) * vec[..., 1] * vec[..., 1]
+                + f32(0.2) * vec[..., 2] * vec[..., 2])
+        cs = np.cumsum(temp, axis=-1, dtype=np.float32)
+        w = self.neardc + 1
+        winsum = cs - np.concatenate(
+            [np.zeros(cs.shape[:-1] + (w,), np.float32),
+             cs[..., :-w]], -1)
+        decay = todB(winsum * f32(1.0 / w)) * f32(0.5) - f32(15.0)
+        pairs = (vec[..., 0::2] * vec[..., 0::2]
+                 + vec[..., 1::2] * vec[..., 1::2])[..., :32]
+        kk = np.arange(32, dtype=np.float32)
+        d = decay[..., None] - f32(8.0) * kk
+        sp = np.maximum(np.maximum(todB(pairs) * f32(0.5), d),
+                        self.minV)
+        return (sp @ np.asarray(self.Bm)).astype(np.float32)
 
     def marks_nd(self, x):
         """Batched variant: x (ch, NC, S) -> (NC, S//64 - 1) bool.
