@@ -236,9 +236,10 @@ class FastEncoder:
         self._dev_gather = None
         self._managed_dev = None
         self._reservoir = None
-        # cross-frame psy state rides the two-phase batched pipeline;
-        # the managed path keeps the stateless 15-blob pass for now
-        self.psy_state = bool(psy_state) and not self.managed
+        # cross-frame psy state rides the two-phase batched pipeline
+        # (unmanaged VBR and the managed 15-blob pass: long-only, so
+        # ampmax decay + the M9 lastmdct epeak are the active states)
+        self.psy_state = bool(psy_state)
 
     def ctx(self, W: int = 1):
         """Per-mode component bundle; the long ctx is the encoder
@@ -1487,24 +1488,72 @@ class FastEncoder:
                              / (32768.0 if pcm.dtype == np.int16
                                 else 1.0))          # (ch, F, n)
         F = frames.shape[1]
-        step = mdev.get_step(chunk)
         gather = mdev.gather_step()
         wb = mdev.dev.plan.wb
 
-        # dispatch all chunks, keep (pk_dev, nb) pairs; choose+gather
-        # as results drain
-        pend = []
-        for o in range(0, F, chunk):
+        def chunk_frames_dev(o):
             blk = frames[:, o:o + chunk]
             if blk.shape[1] < chunk:
                 blk = np.concatenate(
                     [blk, np.zeros((ch, chunk - blk.shape[1], n),
                                    np.float32)], 1)
-            fr = jnp.asarray(np.ascontiguousarray(
+            return jnp.asarray(np.ascontiguousarray(
                 blk.transpose(1, 0, 2)))
-            pk, nb = step(fr)
-            nb.copy_to_host_async()
-            pend.append((o, pk, nb))
+
+        # dispatch all chunks, keep (pk_dev, nb) pairs; choose+gather
+        # as results drain
+        pend = []
+        if self.psy_state:
+            # two-phase: probe all chunks, replay the ampmax decay on
+            # the host, finish with per-frame state (the managed path
+            # is long-only: ampmax + M9 lastmdct are the live states)
+            from ..ops import psydevice as PD
+            probe = mdev.get_probe_step(chunk)
+            finish = mdev.get_finish_step(chunk)
+            probes = []
+            for o in range(0, F, chunk):
+                ob = probe(chunk_frames_dev(o))
+                ob[5].copy_to_host_async()
+                probes.append((o, ob))
+            lam_rows = np.concatenate(
+                [np.asarray(ob[5]) for _, ob in probes])
+            lamf = lam_rows.reshape(-1, ch).max(-1)
+            nfp = len(probes) * chunk
+            amp_all = PD.ampmax_seq(
+                lamf, np.full(nfp, self.W_main, np.int64),
+                self.vi.blocksizes, self.rate,
+                self.setup.psy_global["ampmax_att_per_sec"])                 .astype(np.float32)
+            hsrate = self.rate >= 26000
+            n2L = mdev.n2
+            if hsrate:
+                L_all = jnp.concatenate(
+                    [ob[1] for _, ob in probes]
+                    + [jnp.zeros((1, n2L), jnp.float32)], 0)
+                zrow = nfp * ch
+            for ci, (o, ob) in enumerate(probes):
+                if hsrate:
+                    g = np.arange(chunk) + ci * chunk
+                    rows = ((g - 1)[:, None] * ch
+                            + np.arange(ch)[None, :])
+                    rows = np.where(g[:, None] == 0, zrow, rows)
+                    lastm = jnp.take(
+                        L_all, jnp.asarray(
+                            rows.reshape(-1).astype(np.int32)),
+                        axis=0)
+                else:
+                    lastm = jnp.zeros((chunk * ch, n2L), jnp.float32)
+                ampj = jnp.asarray(
+                    amp_all[ci * chunk:(ci + 1) * chunk])
+                pk, nb = finish(ob[0], ob[1], ob[2], ob[3], ob[4],
+                                lastm, ob[5], ampj)
+                nb.copy_to_host_async()
+                pend.append((o, pk, nb))
+        else:
+            step = mdev.get_step(chunk)
+            for o in range(0, F, chunk):
+                pk, nb = step(chunk_frames_dev(o))
+                nb.copy_to_host_async()
+                pend.append((o, pk, nb))
 
         w = OggStreamWriter(serialno)
         h1, h2, h3 = self.enc.header_packets(comments)

@@ -162,6 +162,135 @@ class DeviceManagedEncode:
                 self.make_framed_step(F, wb))
         return self._step_cache[key]
 
+    # -- stateful two-phase (cross-frame psy state) -------------------------
+    def make_probe_step(self, F):
+        """Phase A for the managed path: frames (F, ch, n) -> spectra
+        kept on device + the host-recurrence inputs.  The managed fast
+        path is long-only, so the active cross-frame states are the
+        ampmax decay (tone mask) and the M9 lastmdct epeak; lastmdct
+        is the previous frame's logmdct verbatim (lmode 0)."""
+        dev = self.dev
+        da = self.ctx.analysis
+        n, ch = dev.n, dev.ch
+
+        def step(frames):
+            if frames.dtype != jnp.float32:
+                frames = frames.astype(jnp.float32) / f32(32768.0)
+            flat = frames.reshape(F * ch, n)
+            md, logmdct, fit1, dB, logfft = da.spectra(
+                flat, None, with_fft=True)
+            lam = jnp.minimum(jnp.max(logfft, axis=-1), 0.0)
+            return md, logmdct, logfft, fit1, dB, lam
+
+        return step
+
+    def make_finish_step(self, F, wb=None):
+        """Phase B: spectra + per-frame state (ampmax (F,), lastmdct
+        rows (F*ch, n2)) -> 15 packed packet variants.  Mirrors
+        make_framed_step's mask/ladder construction but with the
+        stateful noise tail (M7/M8/M9 via psydevice.noisemask_tail)
+        and the ampmax-aware tone mask, matching the unmanaged
+        two-phase pipeline's psy semantics."""
+        from . import psydevice as PD
+        dev = self.dev
+        ctx = self.ctx
+        da = ctx.analysis
+        look = da.look
+        wb = wb or dev.plan.wb
+        ch = dev.ch
+        n2 = self.n2
+        NB = PACKETBLOBS
+
+        def step(md, logmdct, logfft, fit1, dB, lastmdct, lam,
+                 ampmax):
+            R = F * ch
+            neg1 = jnp.full(R, -1.0, jnp.float32)
+            logmask, epeak, npeak = PD.noisemask_tail(
+                look, logmdct, fit1, dB, neg1, neg1, lastmdct,
+                "long", trans_active=jnp.zeros(R, bool))
+            amp_rows = jnp.repeat(ampmax, ch)
+            tone = da.tonemask(logfft, amp_rows, lam)
+            # select order mirrors the reference (mapping0.c:1090-
+            # 1181): mask1 first — its M1 pass rescales the mdct used
+            # by every blob
+            md1, m1 = da.offset_and_mix(md, logmdct, logmask, tone, 1)
+            _, m2 = da.offset_and_mix(md1, logmdct, logmask, tone, 2)
+            _, m0 = da.offset_and_mix(md1, logmdct, logmask, tone, 0)
+            masks3 = jnp.stack([m0, m1, m2], axis=-2)
+            ps, us = [], []
+            for k in range(3):
+                p, u = ctx.floor(logmdct, masks3[:, k])
+                ps.append(p)
+                us.append(u)
+            P = ps[0].shape[-1]
+            lad, ul = [], []
+            for k in range(NB):
+                if k == 7:
+                    lad.append(ps[1])
+                    ul.append(us[1])
+                elif k == 0:
+                    lad.append(ps[0])
+                    ul.append(us[0] & us[1])
+                elif k == NB - 1:
+                    lad.append(ps[2])
+                    ul.append(us[2] & us[1])
+                elif k < 7:
+                    p, u = _interp_posts(ps[0], ps[1], us[0], us[1],
+                                         k * 65536 // 7)
+                    lad.append(p)
+                    ul.append(u)
+                else:
+                    p, u = _interp_posts(ps[1], ps[2], us[1], us[2],
+                                         (k - 7) * 65536 // 7)
+                    lad.append(p)
+                    ul.append(u)
+            p15 = jnp.stack(lad, 1).reshape(F, ch, NB, P) \
+                .transpose(0, 2, 1, 3).reshape(F * NB * ch, P)
+            u15 = jnp.stack(ul, 1).reshape(F, ch, NB) \
+                .transpose(0, 2, 1).reshape(F * NB * ch)
+            mdr = jnp.broadcast_to(
+                md1.reshape(F, 1, ch, n2), (F, NB, ch, n2)) \
+                .reshape(F * NB * ch, n2)
+            epk = jnp.broadcast_to(
+                epeak.reshape(F, 1, ch, n2), (F, NB, ch, n2)) \
+                .reshape(F * NB * ch, n2)
+            npk = jnp.broadcast_to(
+                npeak.reshape(F, 1, ch, -1),
+                (F, NB, ch, npeak.shape[-1])) \
+                .reshape(F * NB * ch, npeak.shape[-1])
+            lowpass = jnp.broadcast_to(
+                jnp.asarray(self.lowpass_15)[None, :, None],
+                (F, NB, ch)).reshape(F * NB * ch)
+            kw = dict(lowpass=lowpass, epeak=epk, npeak=npk)
+            if dev.res_type == 2:
+                kw["thr1"] = jnp.broadcast_to(
+                    jnp.asarray(self.thr1_15)[None], (F, NB, n2)) \
+                    .reshape(F * NB, n2)
+                kw["threv"] = jnp.broadcast_to(
+                    jnp.asarray(self.threv_15)[None], (F, NB, n2)) \
+                    .reshape(F * NB, n2)
+                kw["inlimit"] = jnp.broadcast_to(
+                    jnp.asarray(self.inlimit_15)[None], (F, NB, n2)) \
+                    .reshape(F * NB, n2)
+            pk, nb = dev.finish_from_posts(mdr, p15, u15, F * NB, wb,
+                                           **kw)
+            return pk.reshape(F, NB, -1), nb.reshape(F, NB)
+
+        return step
+
+    def get_probe_step(self, F):
+        key = ("probe", F)
+        if key not in self._step_cache:
+            self._step_cache[key] = jax.jit(self.make_probe_step(F))
+        return self._step_cache[key]
+
+    def get_finish_step(self, F, wb=None):
+        key = ("finish", F, wb or self.dev.plan.wb)
+        if key not in self._step_cache:
+            self._step_cache[key] = jax.jit(
+                self.make_finish_step(F, wb))
+        return self._step_cache[key]
+
     def gather_step(self):
         """Jittable (packets (F, 15, wb), choices (F,)) ->
         (F, wb): fetch only the chosen blob's bytes."""
