@@ -211,6 +211,22 @@ def test_fast_managed_abr_rate_and_valid(tmp_path):
     assert 0.7 <= ratio <= 1.35, (len(ogg), len(g))
 
 
+def test_fast_managed_batch_matches_single():
+    """encode_managed_batch must equal per-stream encode_managed
+    byte-for-byte: the reservoir, ampmax lane, and lastmdct rows of
+    each stream are independent, so batching across streams may not
+    change any packet."""
+    a = oracle.make_test_signal(seconds=1.2, kind="mix")
+    b = oracle.make_test_signal(seconds=0.9, kind="tone")
+    fe = FastEncoder(2, 44100, bitrate=(-1, 128000, -1))
+    outs = fe.encode_managed_batch([a, b], serialnos=[11, 22],
+                                   chunk=32)
+    sa = fe.encode_managed(a, serialno=11, chunk=32)
+    sb = fe.encode_managed(b, serialno=22, chunk=32)
+    assert outs[0] == sa
+    assert outs[1] == sb
+
+
 def test_fast_managed_cbr_walls(tmp_path):
     """CBR (min == nominal == max): the hard reservoir walls must
     truncate/pad without breaking bit syntax — stock libvorbis still

@@ -1466,32 +1466,54 @@ class FastEncoder:
     # -- managed (ABR/CBR) path --------------------------------------------
     def encode_managed(self, pcm, serialno=778, comments=None,
                        chunk=256) -> bytes:
-        """Managed fast encode: every chunk of frames runs the
-        15-packetblob device pass in ONE jit (blob axis folded into
-        the frame batch), the host reservoir floater
-        (ops/managed.ReservoirChooser, an exact port of
-        lib/bitrate.c:73-227) picks each packet, and a device gather
-        fetches only the chosen blob's bytes — 1/15th of the packet
-        data crosses the host link.  Long-block framing (the managed
-        fast path does not yet block-switch; packets remain valid
-        aoTuV streams)."""
+        """Managed fast encode of one stream (see
+        encode_managed_batch)."""
+        return self.encode_managed_batch([pcm], [serialno], comments,
+                                         chunk=chunk)[0]
+
+    def encode_managed_batch(self, pcms, serialnos=None, comments=None,
+                             chunk=256) -> list:
+        """Managed (ABR/CBR) fast encode of MANY independent streams:
+        every chunk of frames runs the 15-packetblob device pass in
+        ONE jit (blob axis folded into the frame batch), a per-stream
+        host reservoir floater (ops/managed.ReservoirChooser, an exact
+        port of lib/bitrate.c:73-227) picks each packet, and a device
+        gather fetches only the chosen blob's bytes — 1/15th of the
+        packet data crosses the host link.  All streams' chunks ride
+        the same compiled steps and every dispatch wave overlaps the
+        host choose/page work of the previous one.  Long-block framing
+        (the managed fast path does not yet block-switch; packets
+        remain valid aoTuV streams)."""
         from ..ops.managed import DeviceManagedEncode, ReservoirChooser
         assert self.managed, "construct FastEncoder(bitrate=...) first"
         if self._managed_dev is None:
             self._managed_dev = DeviceManagedEncode(self, W=self.W_main)
         mdev = self._managed_dev
-        chooser = ReservoirChooser(self.setup, self.rate,
-                                   self.vi.blocksizes)
-        ch, ns = pcm.shape
+        if serialnos is None:
+            serialnos = [778 + i for i in range(len(pcms))]
         n, hop = self.n, self.n // 2
-        frames = self._frame(np.asarray(pcm).astype(np.float32)
-                             / (32768.0 if pcm.dtype == np.int16
-                                else 1.0))          # (ch, F, n)
-        F = frames.shape[1]
+        ch = self.ch
         gather = mdev.gather_step()
-        wb = mdev.dev.plan.wb
 
-        def chunk_frames_dev(o):
+        # ---- per-stream framing + the global (stream, chunk) list
+        streams = []
+        work = []                        # (sidx, frame offset o)
+        for sidx, pcm in enumerate(pcms):
+            assert pcm.shape[0] == ch
+            frames = self._frame(np.asarray(pcm).astype(np.float32)
+                                 / (32768.0 if pcm.dtype == np.int16
+                                    else 1.0))       # (ch, F, n)
+            F = frames.shape[1]
+            streams.append(dict(frames=frames, F=F,
+                                ns=int(pcm.shape[1]),
+                                chooser=ReservoirChooser(
+                                    self.setup, self.rate,
+                                    self.vi.blocksizes)))
+            for o in range(0, F, chunk):
+                work.append((sidx, o))
+
+        def chunk_frames_dev(sidx, o):
+            frames = streams[sidx]["frames"]
             blk = frames[:, o:o + chunk]
             if blk.shape[1] < chunk:
                 blk = np.concatenate(
@@ -1500,42 +1522,60 @@ class FastEncoder:
             return jnp.asarray(np.ascontiguousarray(
                 blk.transpose(1, 0, 2)))
 
-        # dispatch all chunks, keep (pk_dev, nb) pairs; choose+gather
-        # as results drain
+        # ---- dispatch all chunks, keep (pk_dev, nb) pairs; choose +
+        # gather as results drain
         pend = []
         if self.psy_state:
             # two-phase: probe all chunks, replay the ampmax decay on
-            # the host, finish with per-frame state (the managed path
-            # is long-only: ampmax + M9 lastmdct are the live states)
+            # the host (each stream is an independent lane of
+            # ampmax_seq_nd), finish with per-frame state (the managed
+            # path is long-only: ampmax + M9 lastmdct are the live
+            # states; lastmdct rows never cross a stream boundary)
             from ..ops import psydevice as PD
             probe = mdev.get_probe_step(chunk)
             finish = mdev.get_finish_step(chunk)
             probes = []
-            for o in range(0, F, chunk):
-                ob = probe(chunk_frames_dev(o))
+            for sidx, o in work:
+                ob = probe(chunk_frames_dev(sidx, o))
                 ob[5].copy_to_host_async()
-                probes.append((o, ob))
+                probes.append((sidx, o, ob))
             lam_rows = np.concatenate(
-                [np.asarray(ob[5]) for _, ob in probes])
-            lamf = lam_rows.reshape(-1, ch).max(-1)
+                [np.asarray(ob[5]) for _, _, ob in probes])
+            lamf = lam_rows.reshape(-1, ch).max(-1)  # global frame order
             nfp = len(probes) * chunk
-            amp_all = PD.ampmax_seq(
-                lamf, np.full(nfp, self.W_main, np.int64),
+            # per-stream ampmax lanes over the padded (S, Fmax) layout
+            S = len(streams)
+            Fcmax = max(sum(chunk for w_s, _ in work if w_s == sidx)
+                        for sidx in range(S))
+            lam_p = np.full((S, Fcmax), -9999.0, np.float32)
+            gbase = {}
+            cur = {sidx: 0 for sidx in range(S)}
+            for wi, (sidx, o) in enumerate(work):
+                lam_p[sidx, cur[sidx]:cur[sidx] + chunk] = \
+                    lamf[wi * chunk:(wi + 1) * chunk]
+                gbase[wi] = cur[sidx]
+                cur[sidx] += chunk
+            amp_nd = PD.ampmax_seq_nd(
+                lam_p, np.full((S, Fcmax), self.W_main, np.int64),
                 self.vi.blocksizes, self.rate,
-                self.setup.psy_global["ampmax_att_per_sec"])                 .astype(np.float32)
+                self.setup.psy_global["ampmax_att_per_sec"]) \
+                .astype(np.float32)
             hsrate = self.rate >= 26000
             n2L = mdev.n2
             if hsrate:
                 L_all = jnp.concatenate(
-                    [ob[1] for _, ob in probes]
+                    [ob[1] for _, _, ob in probes]
                     + [jnp.zeros((1, n2L), jnp.float32)], 0)
                 zrow = nfp * ch
-            for ci, (o, ob) in enumerate(probes):
+            for wi, (sidx, o, ob) in enumerate(probes):
                 if hsrate:
-                    g = np.arange(chunk) + ci * chunk
+                    # previous frame's logmdct rows; the first frame
+                    # of EACH STREAM reads the zero row
+                    g = np.arange(chunk) + wi * chunk
+                    within = np.arange(chunk) + gbase[wi]
                     rows = ((g - 1)[:, None] * ch
                             + np.arange(ch)[None, :])
-                    rows = np.where(g[:, None] == 0, zrow, rows)
+                    rows = np.where(within[:, None] == 0, zrow, rows)
                     lastm = jnp.take(
                         L_all, jnp.asarray(
                             rows.reshape(-1).astype(np.int32)),
@@ -1543,29 +1583,38 @@ class FastEncoder:
                 else:
                     lastm = jnp.zeros((chunk * ch, n2L), jnp.float32)
                 ampj = jnp.asarray(
-                    amp_all[ci * chunk:(ci + 1) * chunk])
+                    amp_nd[sidx, gbase[wi]:gbase[wi] + chunk])
                 pk, nb = finish(ob[0], ob[1], ob[2], ob[3], ob[4],
                                 lastm, ob[5], ampj)
                 nb.copy_to_host_async()
-                pend.append((o, pk, nb))
+                pend.append((sidx, o, pk, nb))
         else:
             step = mdev.get_step(chunk)
-            for o in range(0, F, chunk):
-                pk, nb = step(chunk_frames_dev(o))
+            for sidx, o in work:
+                pk, nb = step(chunk_frames_dev(sidx, o))
                 nb.copy_to_host_async()
-                pend.append((o, pk, nb))
+                pend.append((sidx, o, pk, nb))
 
-        w = OggStreamWriter(serialno)
-        h1, h2, h3 = self.enc.header_packets(comments)
-        w.packetin(h1, 0)
-        w.flush()
-        w.packetin(h2, 0)
-        w.packetin(h3, 0)
-        w.flush()
-        gp = 0
-        fglobal = 0
+        # ---- per-stream Ogg assembly (work is stream-major, so each
+        # stream's chunks arrive in order)
+        writers = []
+        for serialno in serialnos[:len(streams)]:
+            w = OggStreamWriter(serialno)
+            h1, h2, h3 = self.enc.header_packets(comments)
+            w.packetin(h1, 0)
+            w.flush()
+            w.packetin(h2, 0)
+            w.packetin(h3, 0)
+            w.flush()
+            writers.append(w)
+        gp_s = [0] * len(streams)
+        fglob = [0] * len(streams)
         W = self.W_main
-        for o, pk, nb in pend:
+        for sidx, o, pk, nb in pend:
+            st = streams[sidx]
+            w = writers[sidx]
+            chooser = st["chooser"]
+            F, ns = st["F"], st["ns"]
             sizes = (np.asarray(nb) + 7) >> 3           # (chunk, 15)
             hi = min(chunk, F - o)
             choices = np.zeros(chunk, np.int64)
@@ -1582,16 +1631,16 @@ class FastEncoder:
                     data = data[:nbytes - int(trunc[f])]
                 if pads[f]:
                     data = data + b"\x00" * int(pads[f])
-                gp = 0 if fglobal == 0 else gp + hop
-                eos = fglobal == F - 1
+                gp_s[sidx] = 0 if fglob[sidx] == 0 else gp_s[sidx] + hop
+                eos = fglob[sidx] == F - 1
                 if eos:
-                    gp = ns
-                w.packetin(data, gp if fglobal > 0 else 0, eos=eos)
-                if fglobal % 16 == 0 or eos:
+                    gp_s[sidx] = ns
+                w.packetin(data, gp_s[sidx] if fglob[sidx] > 0 else 0,
+                           eos=eos)
+                if fglob[sidx] % 16 == 0 or eos:
                     w.flush(eos=eos)
-                fglobal += 1
-        w.flush()
-        return w.pageout_all()
+                fglob[sidx] += 1
+        return [w.pageout_all() for w in writers]
 
     # -- host side ---------------------------------------------------------
     def _frame(self, pcm):
