@@ -1070,3 +1070,245 @@ long vn_lap_add(const float *blocksL, const float *blocksS,
     }
     return 0;
 }
+
+/* ===================================================================
+ * Frame-tiled IMDCT: the SAME per-frame expression trees as
+ * vn_imdct_batch above, evaluated for VNL independent frames at a
+ * time in a lane-major layout (element i of lane l lives at
+ * [i*VNL + l]).  Each frame's operations keep their exact order, so
+ * the output is bit-identical to the scalar kernel — the lane loop
+ * only interleaves INDEPENDENT frames, which is what lets the
+ * compiler turn every butterfly statement into one AVX-512 vector op
+ * (the scalar kernel's gather-indexed loads defeat vectorization
+ * within a single frame).
+ */
+
+#define VNL 16
+
+static void vn_bf8_l(float *x)
+{
+    for (int l = 0; l < VNL; l++) {
+        float r0 = x[6*VNL+l] + x[2*VNL+l], r1 = x[6*VNL+l] - x[2*VNL+l];
+        float r2 = x[4*VNL+l] + x[0*VNL+l], r3 = x[4*VNL+l] - x[0*VNL+l];
+        float n6 = r0 + r2, n4 = r0 - r2;
+        float s0 = x[5*VNL+l] - x[1*VNL+l], s2 = x[7*VNL+l] - x[3*VNL+l];
+        float n0 = r1 + s0, n2 = r1 - s0;
+        float u0 = x[5*VNL+l] + x[1*VNL+l], u1 = x[7*VNL+l] + x[3*VNL+l];
+        float n3 = s2 + r3, n1 = s2 - r3;
+        float n7 = u1 + u0, n5 = u1 - u0;
+        x[0*VNL+l] = n0; x[1*VNL+l] = n1; x[2*VNL+l] = n2;
+        x[3*VNL+l] = n3; x[4*VNL+l] = n4; x[5*VNL+l] = n5;
+        x[6*VNL+l] = n6; x[7*VNL+l] = n7;
+    }
+}
+
+static void vn_bf16_l(float *x)
+{
+    const float c2 = VN_cPI2_8;
+    for (int l = 0; l < VNL; l++) {
+        float r0 = x[1*VNL+l] - x[9*VNL+l], r1 = x[0*VNL+l] - x[8*VNL+l];
+        float n8 = x[8*VNL+l] + x[0*VNL+l], n9 = x[9*VNL+l] + x[1*VNL+l];
+        float n0 = (r0 + r1) * c2, n1 = (r0 - r1) * c2;
+        float r0b = x[3*VNL+l] - x[11*VNL+l],
+              r1b = x[10*VNL+l] - x[2*VNL+l];
+        float n10 = x[10*VNL+l] + x[2*VNL+l],
+              n11 = x[11*VNL+l] + x[3*VNL+l];
+        float n2 = r0b, n3 = r1b;
+        float r0c = x[12*VNL+l] - x[4*VNL+l],
+              r1c = x[13*VNL+l] - x[5*VNL+l];
+        float n12 = x[12*VNL+l] + x[4*VNL+l],
+              n13 = x[13*VNL+l] + x[5*VNL+l];
+        float n4 = (r0c - r1c) * c2, n5 = (r0c + r1c) * c2;
+        float r0d = x[14*VNL+l] - x[6*VNL+l],
+              r1d = x[15*VNL+l] - x[7*VNL+l];
+        float n14 = x[14*VNL+l] + x[6*VNL+l],
+              n15 = x[15*VNL+l] + x[7*VNL+l];
+        float n6 = r0d, n7 = r1d;
+        x[0*VNL+l] = n0; x[1*VNL+l] = n1; x[2*VNL+l] = n2;
+        x[3*VNL+l] = n3; x[4*VNL+l] = n4; x[5*VNL+l] = n5;
+        x[6*VNL+l] = n6; x[7*VNL+l] = n7;
+        x[8*VNL+l] = n8; x[9*VNL+l] = n9; x[10*VNL+l] = n10;
+        x[11*VNL+l] = n11; x[12*VNL+l] = n12; x[13*VNL+l] = n13;
+        x[14*VNL+l] = n14; x[15*VNL+l] = n15;
+    }
+    vn_bf8_l(x);
+    vn_bf8_l(x + 8*VNL);
+}
+
+static void vn_bf32_l(float *x)
+{
+    const float c1 = VN_cPI1_8, c2 = VN_cPI2_8, c3 = VN_cPI3_8;
+    for (int l = 0; l < VNL; l++) {
+        float r0 = x[30*VNL+l] - x[14*VNL+l],
+              r1 = x[31*VNL+l] - x[15*VNL+l];
+        float n30 = x[30*VNL+l] + x[14*VNL+l],
+              n31 = x[31*VNL+l] + x[15*VNL+l];
+        float n14 = r0, n15 = r1;
+        float r0b = x[28*VNL+l] - x[12*VNL+l],
+              r1b = x[29*VNL+l] - x[13*VNL+l];
+        float n28 = x[28*VNL+l] + x[12*VNL+l],
+              n29 = x[29*VNL+l] + x[13*VNL+l];
+        float n12 = r0b * c1 - r1b * c3, n13 = r0b * c3 + r1b * c1;
+        float r0c = x[26*VNL+l] - x[10*VNL+l],
+              r1c = x[27*VNL+l] - x[11*VNL+l];
+        float n26 = x[26*VNL+l] + x[10*VNL+l],
+              n27 = x[27*VNL+l] + x[11*VNL+l];
+        float n10 = (r0c - r1c) * c2, n11 = (r0c + r1c) * c2;
+        float r0d = x[24*VNL+l] - x[8*VNL+l],
+              r1d = x[25*VNL+l] - x[9*VNL+l];
+        float n24 = x[24*VNL+l] + x[8*VNL+l],
+              n25 = x[25*VNL+l] + x[9*VNL+l];
+        float n8 = r0d * c3 - r1d * c1, n9 = r1d * c3 + r0d * c1;
+        float r0e = x[22*VNL+l] - x[6*VNL+l],
+              r1e = x[7*VNL+l] - x[23*VNL+l];
+        float n22 = x[22*VNL+l] + x[6*VNL+l],
+              n23 = x[23*VNL+l] + x[7*VNL+l];
+        float n6 = r1e, n7 = r0e;
+        float r0f = x[4*VNL+l] - x[20*VNL+l],
+              r1f = x[5*VNL+l] - x[21*VNL+l];
+        float n20 = x[20*VNL+l] + x[4*VNL+l],
+              n21 = x[21*VNL+l] + x[5*VNL+l];
+        float n4 = r1f * c1 + r0f * c3, n5 = r1f * c3 - r0f * c1;
+        float r0g = x[2*VNL+l] - x[18*VNL+l],
+              r1g = x[3*VNL+l] - x[19*VNL+l];
+        float n18 = x[18*VNL+l] + x[2*VNL+l],
+              n19 = x[19*VNL+l] + x[3*VNL+l];
+        float n2 = (r1g + r0g) * c2, n3 = (r1g - r0g) * c2;
+        float r0h = x[0*VNL+l] - x[16*VNL+l],
+              r1h = x[1*VNL+l] - x[17*VNL+l];
+        float n16 = x[16*VNL+l] + x[0*VNL+l],
+              n17 = x[17*VNL+l] + x[1*VNL+l];
+        float n0 = r1h * c3 + r0h * c1, n1 = r1h * c1 - r0h * c3;
+        x[0*VNL+l] = n0; x[1*VNL+l] = n1; x[2*VNL+l] = n2;
+        x[3*VNL+l] = n3; x[4*VNL+l] = n4; x[5*VNL+l] = n5;
+        x[6*VNL+l] = n6; x[7*VNL+l] = n7; x[8*VNL+l] = n8;
+        x[9*VNL+l] = n9; x[10*VNL+l] = n10; x[11*VNL+l] = n11;
+        x[12*VNL+l] = n12; x[13*VNL+l] = n13; x[14*VNL+l] = n14;
+        x[15*VNL+l] = n15; x[16*VNL+l] = n16; x[17*VNL+l] = n17;
+        x[18*VNL+l] = n18; x[19*VNL+l] = n19; x[20*VNL+l] = n20;
+        x[21*VNL+l] = n21; x[22*VNL+l] = n22; x[23*VNL+l] = n23;
+        x[24*VNL+l] = n24; x[25*VNL+l] = n25; x[26*VNL+l] = n26;
+        x[27*VNL+l] = n27; x[28*VNL+l] = n28; x[29*VNL+l] = n29;
+        x[30*VNL+l] = n30; x[31*VNL+l] = n31;
+    }
+    vn_bf16_l(x);
+    vn_bf16_l(x + 16*VNL);
+}
+
+/* Full-tile IMDCT of VNL frames.  scratch: (3*n2)*VNL floats
+ * (xT | yT | zT).  Frames B must be a multiple of VNL — the Python
+ * caller routes the remainder through vn_imdct_batch. */
+long vn_imdct_batch16(
+    const float *spec, long B, int n, const float *T,
+    const int32_t *ia, const int32_t *ib, const int32_t *ta,
+    const int32_t *tb, const float *sa, const float *sb,
+    const int32_t *stageP, const int64_t *stage_off, int nstages,
+    const int32_t *tc_all,
+    const int32_t *e0, const int32_t *e1, const int32_t *tC,
+    const int32_t *tD,
+    float *out, float *scratch)
+{
+    int n2 = n >> 1, n4 = n >> 2, n8 = n >> 3;
+    float *xT = scratch;
+    float *yT = scratch + (long)n2 * VNL;
+    float *zT = scratch + 2L * n2 * VNL;
+    for (long f0 = 0; f0 + VNL <= B; f0 += VNL) {
+        /* transpose in: lane-major tile */
+        for (int l = 0; l < VNL; l++) {
+            const float *x = spec + (f0 + l) * (long)n2;
+            for (int i = 0; i < n2; i++)
+                xT[(long)i * VNL + l] = x[i];
+        }
+
+        /* stage A: pre-rotation (same association order:
+         * (sa*x)*T + (sb*x)*T) */
+        for (int i = 0; i < n2; i++) {
+            const float sav = sa[i], sbv = sb[i];
+            const float tav = T[ta[i]], tbv = T[tb[i]];
+            const float *pa = xT + (long)ia[i] * VNL;
+            const float *pb = xT + (long)ib[i] * VNL;
+            float *py = yT + (long)i * VNL;
+            for (int l = 0; l < VNL; l++)
+                py[l] = sav * pa[l] * tav + sbv * pb[l] * tbv;
+        }
+
+        /* stage B: radix-2 cascade */
+        for (int s = 0; s < nstages; s++) {
+            int P = stageP[s];
+            const int32_t *tc = tc_all + stage_off[s];
+            int half = P >> 1, nc = P >> 2;
+            for (int b = 0; b < n2 / P; b++) {
+                float *lo = yT + (long)b * P * VNL;
+                float *hi = lo + (long)half * VNL;
+                for (int m = 0; m < nc; m++) {
+                    const float c = T[tc[m]], sn = T[tc[m] + 1];
+                    float *h0 = hi + (2L * m) * VNL;
+                    float *h1 = h0 + VNL;
+                    float *l0 = lo + (2L * m) * VNL;
+                    float *l1 = l0 + VNL;
+                    for (int l = 0; l < VNL; l++) {
+                        float hv0 = h0[l], hv1 = h1[l];
+                        float lv0 = l0[l], lv1 = l1[l];
+                        float r0 = hv0 - lv0, r1 = hv1 - lv1;
+                        h0[l] = hv0 + lv0;
+                        h1[l] = hv1 + lv1;
+                        l0[l] = r1 * sn + r0 * c;
+                        l1[l] = r1 * c - r0 * sn;
+                    }
+                }
+            }
+        }
+        for (int b = 0; b < n2 / 32; b++)
+            vn_bf32_l(yT + (long)b * 32 * VNL);
+
+        /* stage C: bitreverse + half-angle rotation into zT */
+        for (int m = 0; m < n8; m++) {
+            const float c = T[tC[m]], sn = T[tC[m] + 1];
+            const float *pa = yT + (long)e0[m] * VNL;
+            const float *pb = yT + (long)e1[m] * VNL;
+            float *q0 = zT + (2L * m) * VNL;
+            float *q1 = q0 + VNL;
+            float *q2 = zT + ((long)n4 + 2 * (n8 - 1 - m)) * VNL;
+            float *q3 = q2 + VNL;
+            for (int l = 0; l < VNL; l++) {
+                float a0 = pa[l], a1 = pa[VNL + l];
+                float b0 = pb[l], b1 = pb[VNL + l];
+                float r0 = a1 - b1, r1 = a0 + b0;
+                float r2 = r1 * c + r0 * sn;
+                float r3 = r1 * sn - r0 * c;
+                float r0h = 0.5f * (a1 + b1);
+                float r1h = 0.5f * (a0 - b0);
+                q0[l] = r0h + r2;
+                q1[l] = r1h + r3;
+                q2[l] = r0h - r2;
+                q3[l] = r3 - r1h;
+            }
+        }
+
+        /* stage D: final rotation (a into yT[0:n4], b into
+         * yT[n4:n2]) */
+        for (int i = 0; i < n4; i++) {
+            const float c = T[tD[i]], sn = T[tD[i] + 1];
+            const float *pz = zT + (2L * i) * VNL;
+            float *pA = yT + (long)i * VNL;
+            float *pB = yT + ((long)n4 + i) * VNL;
+            for (int l = 0; l < VNL; l++) {
+                float z0 = pz[l], z1 = pz[VNL + l];
+                pA[l] = z0 * sn - z1 * c;
+                pB[l] = -(z0 * c + z1 * sn);
+            }
+        }
+
+        /* symmetric expansion, transposing back to frame-major */
+        for (int l = 0; l < VNL; l++) {
+            float *o = out + (f0 + l) * (long)n;
+            for (int i = 0; i < n4; i++) {
+                o[i] = yT[(long)(n4 - 1 - i) * VNL + l];
+                o[n4 + i] = -yT[(long)i * VNL + l];
+                o[n2 + i] = yT[((long)n4 + (n4 - 1 - i)) * VNL + l];
+                o[n2 + n4 + i] = yT[((long)n4 + i) * VNL + l];
+            }
+        }
+    }
+    return 0;
+}

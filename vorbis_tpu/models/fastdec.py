@@ -373,7 +373,15 @@ def decode_ogg_fast_batch(streams, threads=None, device=False):
     from concurrent.futures import ThreadPoolExecutor
     if threads is None:
         import os
-        threads = min(8, os.cpu_count() or 1, max(1, len(streams)))
+        # honor the cgroup/affinity mask: os.cpu_count() reports the
+        # machine's cores, not the cores THIS process may run on, and a
+        # thread pool wider than the mask only buys GIL churn (25%+
+        # aggregate loss measured on a 1-core mask)
+        try:
+            cores = len(os.sched_getaffinity(0))
+        except AttributeError:
+            cores = os.cpu_count() or 1
+        threads = min(8, cores, max(1, len(streams)))
     if threads <= 1 or len(streams) <= 1:
         return [decode_ogg_fast(s, device=device) for s in streams]
     with ThreadPoolExecutor(threads) as ex:

@@ -204,21 +204,35 @@ def imdct_batch(spec: np.ndarray, n: int):
     spec = np.ascontiguousarray(spec, np.float32)
     B = spec.shape[0]
     out = np.empty((B, n), np.float32)
-    scratch = np.empty(n // 2, np.float32)
 
     def ptr(a):
         return C.c_void_p(a.ctypes.data)
 
-    L.vn_imdct_batch.restype = C.c_long
-    L.vn_imdct_batch.argtypes = None
-    L.vn_imdct_batch(
-        ptr(spec), C.c_long(B), C.c_int(n), ptr(pack["T"]),
-        ptr(pack["ia"]), ptr(pack["ib"]), ptr(pack["ta"]),
-        ptr(pack["tb"]), ptr(pack["sa"]), ptr(pack["sb"]),
-        ptr(pack["stageP"]), ptr(pack["stage_off"]),
-        C.c_int(len(pack["stageP"])), ptr(pack["tc_all"]),
-        ptr(pack["e0"]), ptr(pack["e1"]), ptr(pack["tC"]),
-        ptr(pack["tD"]), ptr(out), ptr(scratch))
+    common = (C.c_int(n), ptr(pack["T"]),
+              ptr(pack["ia"]), ptr(pack["ib"]), ptr(pack["ta"]),
+              ptr(pack["tb"]), ptr(pack["sa"]), ptr(pack["sb"]),
+              ptr(pack["stageP"]), ptr(pack["stage_off"]),
+              C.c_int(len(pack["stageP"])), ptr(pack["tc_all"]),
+              ptr(pack["e0"]), ptr(pack["e1"]), ptr(pack["tC"]),
+              ptr(pack["tD"]))
+    # bulk frames ride the 16-lane frame-tiled kernel (bit-identical
+    # per-frame op order, AVX-vectorized across frames); the remainder
+    # takes the scalar kernel
+    VNL = 16
+    Bt = (B // VNL) * VNL
+    if Bt:
+        scratch16 = np.empty(3 * (n // 2) * VNL, np.float32)
+        L.vn_imdct_batch16.restype = C.c_long
+        L.vn_imdct_batch16.argtypes = None
+        L.vn_imdct_batch16(ptr(spec), C.c_long(Bt), *common,
+                           ptr(out), ptr(scratch16))
+    if Bt < B:
+        scratch = np.empty(n // 2, np.float32)
+        L.vn_imdct_batch.restype = C.c_long
+        L.vn_imdct_batch.argtypes = None
+        L.vn_imdct_batch(
+            C.c_void_p(spec[Bt:].ctypes.data), C.c_long(B - Bt),
+            *common, C.c_void_p(out[Bt:].ctypes.data), ptr(scratch))
     return out
 
 
