@@ -966,6 +966,23 @@ class FastEncoder:
         return self._finish_cache[key]
 
     @staticmethod
+    def _host_compact(pkb, sizes):
+        """Concatenate the used prefixes of padded packet rows into
+        (blob, off): one dense byte buffer + exclusive byte offsets.
+        ~0.2x wb bytes actually copy, and downstream (Ogg paging)
+        reads packets by offset with no per-row padding math.
+        (A device-side compaction was tried and measured 3-8x slower
+        than the plain padded-row transfer on the axon tunnel — the
+        searchsorted/gather graph dominates; this host memcpy is ~1 ms
+        per 1024-frame batch.)"""
+        off = np.cumsum(sizes) - sizes
+        total = int(off[-1] + sizes[-1]) if len(sizes) else 0
+        blob = np.empty(total, np.uint8)
+        for i in range(len(sizes)):
+            blob[off[i]:off[i] + sizes[i]] = pkb[i, :sizes[i]]
+        return blob, off
+
+    @staticmethod
     def _pad_to(a, B, fill=0):
         if len(a) >= B:
             return np.asarray(a)
@@ -978,8 +995,10 @@ class FastEncoder:
         """The cross-frame-state encode: probe pass -> host scalar
         recurrences -> finish pass.  per: per-stream dicts from
         encode_batch (cs, Ws, impulse, li, si, lofs, sofs, starts,
-        wid).  Returns (pk_l, nb_l, pk_s, nb_s) like the stateless
-        gather runner."""
+        wid).  Returns ((blob, off, nbits) longs, (blob, off, nbits)
+        shorts): packet i's bytes are blob[off[i]:off[i] +
+        ((nbits[i]+7)>>3)] — same contract as the stateless gather
+        runner."""
         from ..ops import psydevice as PD
         ch = self.ch
         n2L = self.n // 2
@@ -1039,6 +1058,9 @@ class FastEncoder:
                 outs.append(o)
             return outs
 
+        import time as _time
+        prof = self.last_profile = {}
+        _t0 = _time.perf_counter()
         st_l = np.concatenate([r["starts"][r["li"]] for r in per]) \
             if any(len(r["li"]) for r in per) else np.zeros(0, np.int64)
         wd_l = np.concatenate([r["wid"][r["li"]] for r in per]) \
@@ -1048,6 +1070,8 @@ class FastEncoder:
         pa_l = run_probe(1, st_l, wd_l, lm_l, B_long)
         pa_s = run_probe(0, st_s, None, lm_s, B_short) if len(st_s) \
             else []
+        prof["probe_dispatch"] = _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
 
         # --- host mid-pass: scalar recurrences in stream order
         def fetch(outs, idx):
@@ -1058,6 +1082,8 @@ class FastEncoder:
         lam_l, hi_l = fetch(pa_l, 6), fetch(pa_l, 7)
         up_l, un_l = fetch(pa_l, 8), fetch(pa_l, 9)
         lam_s = fetch(pa_s, 6)
+        prof["probe_wait"] = _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
         nlong = len(st_l)
         nshort = len(st_s)
         NLrows = len(pa_l) * B_long * ch
@@ -1206,56 +1232,61 @@ class FastEncoder:
                 pk.copy_to_host_async()
                 nb.copy_to_host_async()
                 pend.append((bi, pk, nb, lastm, m3v, fstate))
-            # drain + oversized redo
-            pks, nbs = [], []
+            # drain + oversized redo; host-compact each batch's rows
+            # into the dense (blob, off) form downstream reads
+            blobs, offs, nbs = [], [], []
+            base = 0
             for bi, pk, nb, lastm, m3v, fstate in pend:
-                pkb = np.asarray(pk)
                 nbb = np.asarray(nb)
                 if (nbb > wb * 8).any():
                     big = self._finish_step(W, B,
                                             devW.plan.worst_bytes)
                     o = outs[bi]
-                    pk2, nb2 = big(o[0], o[1], o[2], o[3], o[4],
-                                   lastm, o[6], fstate, m3v)
-                    pkb = np.asarray(pk2)
-                    nbb = np.asarray(nb2)
-                pks.append(pkb)
+                    pk, nb = big(o[0], o[1], o[2], o[3], o[4],
+                                 lastm, o[6], fstate, m3v)
+                    nbb = np.asarray(nb)
+                blob_b, off_b = self._host_compact(
+                    np.asarray(pk), (nbb + 7) >> 3)
+                blobs.append(blob_b)
+                offs.append(off_b + base)
                 nbs.append(nbb)
-            if not pks:
-                return (np.zeros((0, wb), np.uint8),
-                        np.zeros(0, np.int64))
-            wmax = max(p.shape[1] for p in pks)
-            pks = [np.pad(p, ((0, 0), (0, wmax - p.shape[1])))
-                   if p.shape[1] < wmax else p for p in pks]
+                base += len(blob_b)
             F = len(amp)
-            return (np.concatenate(pks)[:F],
+            if not blobs:
+                return (np.zeros(0, np.uint8), np.zeros(0, np.int64),
+                        np.zeros(0, np.int64))
+            return (np.concatenate(blobs),
+                    np.concatenate(offs)[:F],
                     np.concatenate(nbs)[:F])
 
-        pk_l, nb_l = run_finish(1, pa_l, B_long, amp_l, lc_l, po_l,
-                                tr_l, prev_l, wd_l, None)
+        prof["host_midpass"] = _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
+        bl_l, of_l, nb_l = run_finish(1, pa_l, B_long, amp_l, lc_l,
+                                      po_l, tr_l, prev_l, wd_l, None)
         if nshort:
             # per-frame blocktype flag for shorts: padding (bm==1)
             # selects the alternate noise-bias curve
             pad_s = np.concatenate(
                 [a["bm"][r["si"]] for a, r in zip(anns, per)]) == 1
-            pk_s, nb_s = run_finish(
+            bl_s, of_s, nb_s = run_finish(
                 0, pa_s, B_short, amp_s, lc_s,
                 np.full(nshort * ch, -1.0, np.float32), pad_s, prev_s,
                 None, m3_fields if hsrate else None)
         else:
-            pk_s = np.zeros((0, 1), np.uint8)
+            bl_s = np.zeros(0, np.uint8)
+            of_s = np.zeros(0, np.int64)
             nb_s = np.zeros(0, np.int64)
-        return pk_l, nb_l, pk_s, nb_s
+        prof["finish"] = _time.perf_counter() - _t0
+        return (bl_l, of_l, nb_l), (bl_s, of_s, nb_s)
 
     def _run_gather_batches(self, W, x64d, starts, wids, B=1024):
         """Run the mode-W gather step over all frames (padded to B per
-        dispatch); returns (packets (F, wb) uint8, nbits (F,))."""
+        dispatch); returns (blob uint8, off (F,) byte offsets,
+        nbits (F,)) — packet i is blob[off[i]:off[i] +
+        ((nbits[i]+7)>>3)]."""
         devW = self._dev_for(W)
         step = self._gather_step(W, B)
         F = len(starts)
-        n = devW.n
-        nr = n // 64
-        pks, nbs = [], []
         pend = []
         for b in range(0, max(F, 1), B):
             sl = starts[b:b + B]
@@ -1272,8 +1303,9 @@ class FastEncoder:
             nb.copy_to_host_async()
             pend.append((pk, nb))
         wb = devW.plan.wb
+        blobs, offs, nbs = [], [], []
+        base = 0
         for bi, (pk, nb) in enumerate(pend):
-            pkb = np.asarray(pk)
             nbb = np.asarray(nb)
             if (nbb > wb * 8).any():
                 # oversized packet: redo this batch at the static
@@ -1290,18 +1322,20 @@ class FastEncoder:
                             [wd, np.full(B - len(wd), 3, np.int64)])
                 wdj = jnp.asarray((wd if wd is not None
                                    else np.zeros(B)).astype(np.int32))
-                pk, nb = big(x64d, jnp.asarray(sl.astype(np.int32)), wdj)
-                pkb = np.asarray(pk)
+                pk, nb = big(x64d, jnp.asarray(sl.astype(np.int32)),
+                             wdj)
                 nbb = np.asarray(nb)
-            pks.append(pkb)
+            blob_b, off_b = self._host_compact(
+                np.asarray(pk), (nbb + 7) >> 3)
+            blobs.append(blob_b)
+            offs.append(off_b + base)
             nbs.append(nbb)
-        if not pks:
-            return (np.zeros((0, devW.plan.wb), np.uint8),
+            base += len(blob_b)
+        if not blobs:
+            return (np.zeros(0, np.uint8), np.zeros(0, np.int64),
                     np.zeros(0, np.int64))
-        wmax = max(p.shape[1] for p in pks)
-        pks = [np.pad(p, ((0, 0), (0, wmax - p.shape[1])))
-               if p.shape[1] < wmax else p for p in pks]
-        return (np.concatenate(pks)[:F], np.concatenate(nbs)[:F])
+        return (np.concatenate(blobs), np.concatenate(offs)[:F],
+                np.concatenate(nbs)[:F])
 
     def _encode_switched(self, pcm, serialno, comments):
         return self.encode_batch([pcm], [serialno], comments,
@@ -1409,18 +1443,19 @@ class FastEncoder:
 
         # 4) the batched device pipelines, ALL streams together
         if self.psy_state:
-            pk_l, nb_l, pk_s, nb_s = self._run_two_phase(
-                x64, per, B_long, B_short)
+            (bl_l, of_l, nb_l), (bl_s, of_s, nb_s) = \
+                self._run_two_phase(x64, per, B_long, B_short)
         else:
-            pk_l, nb_l = self._run_gather_batches(
+            bl_l, of_l, nb_l = self._run_gather_batches(
                 1, x64, np.concatenate(gl_st) if gl_st else
                 np.zeros(0, np.int64),
                 np.concatenate(gl_wd) if gl_wd else None, B=B_long)
             if nshort:
-                pk_s, nb_s = self._run_gather_batches(
+                bl_s, of_s, nb_s = self._run_gather_batches(
                     0, x64, np.concatenate(gs_st), None, B=B_short)
             else:
-                pk_s = np.zeros((0, 1), np.uint8)
+                bl_s = np.zeros(0, np.uint8)
+                of_s = np.zeros(0, np.int64)
                 nb_s = np.zeros(0, np.int64)
 
         # 5) per-stream Ogg paging
@@ -1436,18 +1471,25 @@ class FastEncoder:
             w.packetin(h2, 0)
             w.packetin(h3, 0)
             w.flush()
-            ilk = np.zeros(npkt, np.int64)
-            ilk[li] = rec["lofs"] + np.arange(len(li))
-            ilk[si] = rec["sofs"] + np.arange(len(si))
+            rows = np.zeros(npkt, np.int64)     # global packet rows
+            rows[li] = rec["lofs"] + np.arange(len(li))
+            rows[si] = rec["sofs"] + np.arange(len(si))
             sizes = np.empty(npkt, np.int64)
-            sizes[li] = (nb_l[ilk[li]] + 7) >> 3
+            sizes[li] = (nb_l[rows[li]] + 7) >> 3
             if len(si):
-                sizes[si] = (nb_s[ilk[si]] + 7) >> 3
+                sizes[si] = (nb_s[rows[si]] + 7) >> 3
+            # byte offsets into the dense blobs; the native pager
+            # reads pk + ilk[i]*width, so width=1 + byte offsets
+            # address the blobs directly
+            ilk = np.zeros(npkt, np.int64)
+            ilk[li] = of_l[rows[li]]
+            if len(si):
+                ilk[si] = of_s[rows[si]]
             gps = cs - hop
             gps[-1] = ns
 
             from .. import native as VN
-            res = VN.ogg_pages(pk_l, pk_s, ilk,
+            res = VN.ogg_pages(bl_l, bl_s, ilk,
                                (Ws == 0).astype(np.uint8), sizes, gps,
                                serialno, w.pageno)
             if res is not None:
@@ -1455,9 +1497,8 @@ class FastEncoder:
                 w._pages.append(blob)
             else:
                 def rows_for(i, Ws=Ws, ilk=ilk, sizes=sizes):
-                    if Ws[i] == 1:
-                        return pk_l[ilk[i], :sizes[i]].tobytes()
-                    return pk_s[ilk[i], :sizes[i]].tobytes()
+                    bl = bl_l if Ws[i] == 1 else bl_s
+                    return bl[ilk[i]:ilk[i] + sizes[i]].tobytes()
 
                 self._write_audio_pages(w, rows_for, sizes, gps)
             outs.append(w.pageout_all())
