@@ -9,11 +9,23 @@ coding, stereo coupling, residue VQ, Huffman codeword lookup and bit
 packing all on device; the host only pages per-stream Ogg.  Target
 >500x realtime per chip.
 
-Secondary fields: single-stream encode (same pipeline, one stream),
-full Ogg -> PCM decode (native C packet parse + bit-exact batched
-synthesis), and the system libvorbis C encoder/decoder measured ON
-THIS HOST for the same signal (re-measured every run instead of a
-hardcoded constant, so host drift cannot skew the comparison).
+Secondary fields:
+- encode_batched_from_host_x_realtime: the same batch fed from HOST
+  int16 arrays (the transcode-farm ingestion path: H2D transfer and
+  LPC edge pads inside the timed region).
+- encode_transient_x_realtime: batched encode of click-train content
+  (marks every few thousand samples), bounding the stretch-rescue and
+  short-block dispatch overhead on transient-dense audio.
+- full Ogg -> PCM decode via the fused native drain (vn_ogg_scan +
+  vn_decode_stream: page walk, Huffman parse, residue accumulate,
+  coupling, floor render, IMDCT and lap-add, single call per stream),
+  single-stream and multi-stream batch.
+- the system libvorbis C encoder/decoder measured ON THIS HOST for
+  the same signal (re-measured every run instead of a hardcoded
+  constant, so host drift cannot skew the comparison).
+- profile: the encoder's two-phase stage timers for the batched run
+  (device dispatch / probe drain / host mid-pass / finish), making
+  the next bottleneck visible in the bench record itself.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -34,6 +46,24 @@ def _signal(secs, rate, seed):
     pcmf = (0.30 * np.sin(2 * np.pi * (440 + 7 * seed) * t)[None, :]
             + 0.10 * np.sin(2 * np.pi * 1873 * t)[None, :]
             + 0.02 * rng.randn(2, int(secs * rate)))
+    return np.clip(np.rint(pcmf * 32768.0), -32768,
+                   32767).astype(np.int16)
+
+
+def _click_train(secs, rate, seed):
+    """Transient-dense: a decaying click every ~90 ms over a quiet
+    tonal bed — every click lands an envelope mark, so the schedule
+    mixes short/long blocks throughout."""
+    n = int(secs * rate)
+    t = np.arange(n) / rate
+    rng = np.random.RandomState(1000 + seed)
+    x = 0.05 * np.sin(2 * np.pi * (330 + 11 * seed) * t)
+    step = int(0.09 * rate)
+    for o in range(step // 2, n - 400, step):
+        dur = 256
+        env = np.exp(-np.arange(dur) / 40.0)
+        x[o:o + dur] += 0.75 * env * rng.randn(dur)
+    pcmf = np.stack([x, np.roll(x, 7)])
     return np.clip(np.rint(pcmf * 32768.0), -32768,
                    32767).astype(np.int16)
 
@@ -88,8 +118,17 @@ def main():
         oggs = fe.encode_batch(pcms_dev)
         bestb = min(bestb, time.perf_counter() - t0)
     enc_b_xrt = nstreams * secs / bestb
+    profile = dict(getattr(fe, "last_profile", {}) or {})
 
-    # ---- single stream from host memory (adds the host link) ----
+    # ---- batched from HOST memory (transcode-farm ingestion) ----
+    besth = 1e9
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _ = fe.encode_batch(pcms)
+        besth = min(besth, time.perf_counter() - t0)
+    enc_bh_xrt = nstreams * secs / besth
+
+    # ---- single stream from host memory ----
     _ = fe.encode(pcms[0])
     bhost = 1e9
     for _ in range(2):
@@ -98,7 +137,20 @@ def main():
         bhost = min(bhost, time.perf_counter() - t0)
     enc_host_xrt = secs / bhost
 
-    # ---- decode drain ----
+    # ---- transient-dense batched encode (click trains) ----
+    tsecs, tn = 30, 8
+    tr_pcms = [jax.device_put(_click_train(tsecs, rate, s))
+               for s in range(tn)]
+    jax.block_until_ready(tr_pcms[-1])
+    _ = fe.encode_batch(tr_pcms)         # warm (short-block graphs)
+    bestt = 1e9
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _ = fe.encode_batch(tr_pcms)
+        bestt = min(bestt, time.perf_counter() - t0)
+    enc_tr_xrt = tn * tsecs / bestt
+
+    # ---- decode drain (fused native: vn_ogg_scan+vn_decode_stream) --
     dec_xrt = None
     dec_b_xrt = None
     try:
@@ -111,16 +163,16 @@ def main():
             out, _ = decode_ogg_fast(ogg)
             bestd = min(bestd, time.perf_counter() - t0)
         dec_xrt = out.shape[1] / rate / bestd
-        # batched multi-stream drain (threaded; native calls drop the
-        # GIL) — the per-host aggregate figure the C decoder would need
-        # one process per stream to match
+        # batched multi-stream drain (threaded; the per-stream native
+        # calls drop the GIL) — the per-host aggregate figure the C
+        # decoder would need one process per stream to match
         outs = decode_ogg_fast_batch(oggs)
-        bestb = 1e9
+        bestdb = 1e9
         for _ in range(2):
             t0 = time.perf_counter()
             outs = decode_ogg_fast_batch(oggs)
-            bestb = min(bestb, time.perf_counter() - t0)
-        dec_b_xrt = sum(o.shape[1] for o, _ in outs) / rate / bestb
+            bestdb = min(bestdb, time.perf_counter() - t0)
+        dec_b_xrt = sum(o.shape[1] for o, _ in outs) / rate / bestdb
     except Exception:
         pass
 
@@ -133,8 +185,16 @@ def main():
         "vs_baseline": round(enc_b_xrt / 500.0, 3),
         "batch_streams": nstreams,
         "encode_single_stream_x_realtime": round(enc_1_xrt, 1),
+        "encode_batched_from_host_x_realtime": round(enc_bh_xrt, 1),
         "encode_from_host_x_realtime": round(enc_host_xrt, 1),
+        "encode_transient_x_realtime": round(enc_tr_xrt, 1),
     }
+    if profile:
+        tot = sum(profile.values()) or 1.0
+        rec["profile_stage_seconds"] = {
+            k: round(v, 4) for k, v in profile.items()}
+        rec["profile_stage_share"] = {
+            k: round(v / tot, 3) for k, v in profile.items()}
     if c_enc:
         rec["c_encoder_x_realtime_measured"] = c_enc
         rec["encode_vs_c_core"] = round(enc_b_xrt / c_enc, 1)

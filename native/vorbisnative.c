@@ -332,11 +332,77 @@ typedef struct {
     int dim;
 } vn_book;
 
-/* floor cfg int32 layout (see nativeparse.py):
- * [0]=posts [1]=quantbits [2]=partitions [3]=quant_q [4]=nclasses
- * [5..5+partitions) partitionclass
- * then nclasses * 11: (dim, subs, classbook, subbook[8])
- * then postlist[posts], loneighbor[posts-2], hineighbor[posts-2] */
+/* floor cfg int32 layout (see nativeparse.py), TYPE-TAGGED:
+ * cfg[0] = floor type (0 or 1), then the per-type payload:
+ * type 1: [posts, quantbits, partitions, quant_q, nclasses,
+ *          partitionclass[partitions],
+ *          nclasses * 11: (dim, subs, classbook, subbook[8]),
+ *          postlist[posts], loneighbor[posts-2], hineighbor[posts-2],
+ *          mult, forward_index[posts]]
+ * type 0: [order, ampbits, ampdB, numbooks, bookids[numbooks],
+ *          barkmap, linearmap0[bs0/2+1], linearmap1[bs1/2+1]] */
+
+#include <math.h>
+
+static inline int vn_ilog(unsigned long v)
+{
+    int r = 0;
+    while (v) {
+        r++;
+        v >>= 1;
+    }
+    return r;
+}
+
+#define VN_LSP_MAX 512
+
+/* vorbis_lsp_to_curve, the float non-lookup variant (lsp.c:248-281;
+ * the reference build #undefs FLOAT_LOOKUP/INT_LOOKUP) — multiplies
+ * the envelope gain into a[0:n2].  Same mixed float/double expression
+ * tree as codec/floor0_codec.floor0_curve (the repo's bit-exact
+ * oracle): float products, double cos/sqrt/exp. */
+static void vn_floor0_curve(const float *lsp, int m, float amp,
+                            int ampdB, const int32_t *map, long n2,
+                            int ln, float *a)
+{
+    float wdel = (float)(M_PI / ln);
+    float lc[VN_LSP_MAX];
+    double ampd = (double)amp;
+    double ampoff = (double)ampdB;
+    long i = 0;
+    for (int j = 0; j < m; j++)
+        lc[j] = 2.f * (float)cos((double)lsp[j]);
+    while (i < n2) {
+        int k = map[i];
+        float p = .5f, q = .5f;
+        float wk = wdel * (float)k;
+        float w = 2.f * (float)cos((double)wk);
+        int j;
+        for (j = 1; j < m; j += 2) {
+            q *= w - lc[j - 1];
+            p *= w - lc[j];
+        }
+        if (j == m) {
+            /* odd order */
+            q *= w - lc[j - 1];
+            p *= p * (4.f - w * w);
+            q *= q;
+        } else {
+            p *= p * (2.f - w);
+            q *= q * (2.f + w);
+        }
+        {
+            double v = ampd / sqrt((double)(p + q)) - ampoff;
+            float qv = (float)exp(v * (double).11512925f);
+            a[i] *= qv;
+            i++;
+            while (i < n2 && map[i] == k) {
+                a[i] *= qv;
+                i++;
+            }
+        }
+    }
+}
 
 /* res cfg int32 layout:
  * [0]=type [1]=begin [2]=end [3]=grouping [4]=possible [5]=stages
@@ -358,73 +424,72 @@ static long vn_render_pt(long x0, long x1, long y0, long y1, long x)
     }
 }
 
-long vn_parse_packets(
-    const uint8_t *data, const int64_t *pkt_off, const int64_t *pkt_bits,
-    long npkt, int ch, int modebits, int nmodes, int nmaps, int submax,
-    const int32_t *mode_blockflag, const int32_t *mode_map,
-    const int32_t *map_submaps, const int32_t *map_chmux,
-    const int32_t *map_floorsub, const int32_t *map_ressub,
-    const int32_t *cpl_count, const int32_t *cpl_mag,
-    const int32_t *cpl_ang, /* per MAP, flattened with stride maxcpl */
-    int maxcpl,
-    /* books */
-    const int32_t *t1_all, const int32_t *sec_all,
-    const int64_t *soff_all, const int64_t *book_secbase,
-    const int64_t *book_soffbase, const int32_t *book_K2,
-    const float *vals_all, const int64_t *book_valbase,
-    const int32_t *book_dim, int nbooks,
-    /* configs */
-    const int32_t *flcfg, const int64_t *flcfg_off,
-    const int32_t *rescfg, const int64_t *rescfg_off,
-    const float *fromdB,          /* 256-entry floor gain table */
-    int bs0, int bs1,
-    /* outputs */
-    int32_t *out_W,               /* npkt (-1 bad/non-audio) */
-    int32_t *out_mode,            /* npkt */
-    int32_t *out_posts,           /* npkt*ch*Pmax */
-    uint8_t *out_nonzero,         /* npkt*ch */
-    float *out_res,               /* npkt*ch*n2max, zeroed by caller */
-    int Pmax, int n2max,
-    /* scratch: ch*pwmax int32 */
-    int32_t *partword_buf, int pwmax)
-{
-    vn_book books[512];
-    if (nbooks > 512 || ch > 64)
-        return -1;
-    for (int b = 0; b < nbooks; b++) {
-        books[b].t1 = t1_all + (long)b * (1 << VN_K1);
-        books[b].sec = sec_all + book_secbase[b];
-        books[b].soff = soff_all + book_soffbase[b];
-        books[b].K2 = book_K2[b];
-        books[b].vals = vals_all + book_valbase[b];
-        books[b].dim = book_dim[b];
-    }
+/* All stream-level decode configuration bundled for the per-packet
+ * parser (built once per call from the flat arrays nativeparse.py
+ * marshals). */
+typedef struct {
+    int ch, modebits, nmodes, nmaps, submax, maxcpl;
+    int bs0, bs1, Pmax, n2max, pwmax;
+    const int32_t *mode_blockflag, *mode_map, *map_submaps, *map_chmux,
+        *map_floorsub, *map_ressub, *cpl_count, *cpl_mag, *cpl_ang;
+    const int32_t *flcfg;
+    const int64_t *flcfg_off;
+    const int32_t *rescfg;
+    const int64_t *rescfg_off;
+    const float *fromdB;
+    const vn_book *books;
+} vn_pctx;
 
-    for (long p = 0; p < npkt; p++) {
-        const uint8_t *pd = data + pkt_off[p];
-        long nbits = pkt_bits[p];
+/* Parse ONE audio packet: floor posts (floor1_inverse1 + unwrap),
+ * residue accumulate, inverse coupling, floor render+multiply.  res
+ * (ch*n2max) is zeroed here; *W_out = -1 flags bad/non-audio.
+ * (Body indentation is inherited from the original whole-stream loop
+ * this was extracted from.) */
+static void vn_parse_one(const vn_pctx *cx, const uint8_t *pd, long nbits,
+                         int32_t *W_out, int32_t *mode_out,
+                         int32_t *posts, uint8_t *nz, float *res,
+                         int32_t *partword_buf)
+{
+    const vn_book *books = cx->books;
+    int ch = cx->ch, modebits = cx->modebits, nmodes = cx->nmodes;
+    int submax = cx->submax, maxcpl = cx->maxcpl;
+    int bs0 = cx->bs0, bs1 = cx->bs1, Pmax = cx->Pmax;
+    int n2max = cx->n2max, pwmax = cx->pwmax;
+    const int32_t *mode_blockflag = cx->mode_blockflag;
+    const int32_t *mode_map = cx->mode_map;
+    const int32_t *map_submaps = cx->map_submaps;
+    const int32_t *map_chmux = cx->map_chmux;
+    const int32_t *map_floorsub = cx->map_floorsub;
+    const int32_t *map_ressub = cx->map_ressub;
+    const int32_t *cpl_count = cx->cpl_count;
+    const int32_t *cpl_mag = cx->cpl_mag;
+    const int32_t *cpl_ang = cx->cpl_ang;
+    const int32_t *flcfg = cx->flcfg;
+    const int64_t *flcfg_off = cx->flcfg_off;
+    const int32_t *rescfg = cx->rescfg;
+    const int64_t *rescfg_off = cx->rescfg_off;
+    const float *fromdB = cx->fromdB;
+    {
         long pos = 0;
-        int32_t *posts = out_posts + p * ch * Pmax;
-        uint8_t *nz = out_nonzero + p * ch;
-        float *res = out_res + (long)p * ch * n2max;
-        out_W[p] = -1;
-        out_mode[p] = -1;
+        memset(res, 0, (size_t)ch * n2max * sizeof(float));
+        *W_out = -1;
+        *mode_out = -1;
         for (int c = 0; c < ch; c++)
             nz[c] = 0;
 
         long b0 = rd_bits(pd, nbits, &pos, 1);
         if (b0 != 0)
-            continue;
+            return;
         long mode = rd_bits(pd, nbits, &pos, modebits);
         if (mode < 0 || mode >= nmodes)
-            continue;
+            return;
         int W = mode_blockflag[mode];
         if (W) {
             if (rd_bits(pd, nbits, &pos, 2) < 0)
-                continue;       /* OV_EBADPACKET in the reference */
+                return;         /* OV_EBADPACKET in the reference */
         }
-        out_W[p] = W;
-        out_mode[p] = (int32_t)mode;
+        *W_out = W;
+        *mode_out = (int32_t)mode;
         long n2 = (W ? bs1 : bs0) / 2;
         int mapidx = mode_map[mode];
         const int32_t *chmux = map_chmux + (long)mapidx * ch;
@@ -432,10 +497,75 @@ long vn_parse_packets(
         const int32_t *ressub = map_ressub + (long)mapidx * submax;
         int submaps = map_submaps[mapidx];
 
-        /* ---- floors (floor1_inverse1 incl. unwrap), per channel in
-         * channel order, each with its submap's floor config ---- */
+        /* ---- floors (floor1_inverse1 incl. unwrap / floor0_inverse1
+         * LSP decode), per channel in channel order, each with its
+         * submap's floor config ---- */
         for (int c = 0; c < ch; c++) {
             const int32_t *fc = flcfg + flcfg_off[floorsub[chmux[c]]];
+            int ftype = fc[0];
+            fc++;
+            if (ftype == 0) {
+                /* floor0_inverse1 (floor0.c:162-198): amp, book
+                 * number, decodev_set LSP coefficients with the
+                 * cumulative `last` add.  The memo (m floats + amp)
+                 * is stashed in the posts row as raw float bits for
+                 * the render stage. */
+                int m = fc[0], ampbits = fc[1], ampdB = fc[2];
+                int nbks = fc[3];
+                const int32_t *bids = fc + 4;
+                int32_t *fit = posts + c * Pmax;
+                long ampraw = rd_bits(pd, nbits, &pos, ampbits);
+                if (ampraw <= 0)
+                    continue;       /* unused channel (or EOP) */
+                {
+                    long maxval = (1L << ampbits) - 1;
+                    /* double-divide then f32, like the scalar oracle
+                     * (floor0_codec.decode_floor0) */
+                    float q32 = (float)((double)ampraw / maxval);
+                    float ampf = (float)((double)q32 * ampdB);
+                    long booknum = rd_bits(pd, nbits, &pos,
+                                           vn_ilog(nbks));
+                    const vn_book *b;
+                    float lsp[VN_LSP_MAX];
+                    int dim, i2 = 0, dead = 0;
+                    if (booknum < 0 || booknum >= nbks)
+                        continue;
+                    b = &books[bids[booknum]];
+                    dim = b->dim;
+                    if (m + dim > VN_LSP_MAX || m + 1 > Pmax)
+                        continue;
+                    while (i2 < m) {
+                        long e = vn_huff1(pd, nbits, &pos, b->t1,
+                                          b->sec, b->soff, b->K2);
+                        if (e < 0) {
+                            dead = 1;
+                            break;
+                        }
+                        {
+                            const float *v = b->vals + e * dim;
+                            for (int k = 0; k < dim; k++)
+                                lsp[i2 + k] = v[k];
+                        }
+                        i2 += dim;
+                    }
+                    if (dead)
+                        continue;
+                    {
+                        float last = 0.f;
+                        int j = 0;
+                        while (j < m) {
+                            for (int k = 0; k < dim && j < m;
+                                 k++, j++)
+                                lsp[j] += last;
+                            last = lsp[j - 1];
+                        }
+                    }
+                    memcpy(fit, lsp, (size_t)m * sizeof(float));
+                    memcpy(fit + m, &ampf, sizeof(float));
+                    nz[c] = 1;
+                }
+                continue;
+            }
             int P = fc[0], qbits = fc[1], partitions = fc[2];
             long quant_q = fc[3];
             int nclasses = fc[4];
@@ -815,6 +945,29 @@ long vn_parse_packets(
             {
                 const int32_t *fc = flcfg
                     + flcfg_off[floorsub[chmux[c]]];
+                int ftype = fc[0];
+                fc++;
+                if (ftype == 0) {
+                    /* floor0_inverse2: LSP memo -> envelope multiply
+                     * over the full half-spectrum */
+                    int m = fc[0], ampdB = fc[2], nbks = fc[3];
+                    const int32_t *tail = fc + 4 + nbks;
+                    int ln = tail[0];
+                    const int32_t *map0 = tail + 1;
+                    const int32_t *map1 = map0 + (bs0 / 2 + 1);
+                    const int32_t *map = (n2 == bs0 / 2) ? map0
+                                                         : map1;
+                    const int32_t *fit = posts + c * Pmax;
+                    float lspv[VN_LSP_MAX];
+                    float ampf;
+                    memcpy(lspv, fit, (size_t)m * sizeof(float));
+                    memcpy(&ampf, fit + m, sizeof(float));
+                    vn_floor0_curve(lspv, m, ampf, ampdB, map, n2,
+                                    ln, a);
+                    for (long x = n2; x < n2max; x++)
+                        a[x] = 0.f;
+                    continue;
+                }
                 int P = fc[0], partitions = fc[2];
                 int nclasses = fc[4];
                 const int32_t *postlist = fc + 5 + partitions
@@ -843,18 +996,29 @@ long vn_parse_packets(
                         if (hy > 255)
                             hy = 255;
                         {
+                            /* incremental Bresenham DDA — identical
+                             * integer sequence to floor1.c render_line
+                             * (y_k = ly + base*k + sgn*((k*ady)/adx)
+                             * with the error accumulator stepping),
+                             * no per-bin division */
                             long dy = hy - ly;
                             long adx = hx - lx;
                             long base = dy / adx;   /* trunc == C */
                             long ady = (dy < 0 ? -dy : dy)
                                 - (base < 0 ? -base : base) * adx;
                             long end = hx < n2 ? hx : n2;
-                            long sgn = dy < 0 ? -1 : 1;
-                            for (long x = lx, k = 0; x < end;
-                                 x++, k++) {
-                                long yv = ly + base * k
-                                    + sgn * ((k * ady) / adx);
+                            long sy = dy < 0 ? base - 1 : base + 1;
+                            long yv = ly;
+                            long err = 0;
+                            for (long x = lx; x < end; x++) {
                                 a[x] *= fromdB[yv];
+                                err += ady;
+                                if (err >= adx) {
+                                    err -= adx;
+                                    yv += sy;
+                                } else {
+                                    yv += base;
+                                }
                             }
                         }
                         lx = hx;
@@ -868,6 +1032,101 @@ long vn_parse_packets(
             }
         }
     }
+}
+
+/* Build the parse context from the flat marshaled arrays.  Returns -1
+ * on limits violation. */
+static long vn_pctx_init(
+    vn_pctx *cx, vn_book *books,
+    int ch, int modebits, int nmodes, int nmaps, int submax,
+    const int32_t *mode_blockflag, const int32_t *mode_map,
+    const int32_t *map_submaps, const int32_t *map_chmux,
+    const int32_t *map_floorsub, const int32_t *map_ressub,
+    const int32_t *cpl_count, const int32_t *cpl_mag,
+    const int32_t *cpl_ang, int maxcpl,
+    const int32_t *t1_all, const int32_t *sec_all,
+    const int64_t *soff_all, const int64_t *book_secbase,
+    const int64_t *book_soffbase, const int32_t *book_K2,
+    const float *vals_all, const int64_t *book_valbase,
+    const int32_t *book_dim, int nbooks,
+    const int32_t *flcfg, const int64_t *flcfg_off,
+    const int32_t *rescfg, const int64_t *rescfg_off,
+    const float *fromdB, int bs0, int bs1,
+    int Pmax, int n2max, int pwmax)
+{
+    if (nbooks > 512 || ch > 64)
+        return -1;
+    for (int b = 0; b < nbooks; b++) {
+        books[b].t1 = t1_all + (long)b * (1 << VN_K1);
+        books[b].sec = sec_all + book_secbase[b];
+        books[b].soff = soff_all + book_soffbase[b];
+        books[b].K2 = book_K2[b];
+        books[b].vals = vals_all + book_valbase[b];
+        books[b].dim = book_dim[b];
+    }
+    cx->ch = ch; cx->modebits = modebits; cx->nmodes = nmodes;
+    cx->nmaps = nmaps; cx->submax = submax; cx->maxcpl = maxcpl;
+    cx->bs0 = bs0; cx->bs1 = bs1; cx->Pmax = Pmax;
+    cx->n2max = n2max; cx->pwmax = pwmax;
+    cx->mode_blockflag = mode_blockflag; cx->mode_map = mode_map;
+    cx->map_submaps = map_submaps; cx->map_chmux = map_chmux;
+    cx->map_floorsub = map_floorsub; cx->map_ressub = map_ressub;
+    cx->cpl_count = cpl_count; cx->cpl_mag = cpl_mag;
+    cx->cpl_ang = cpl_ang;
+    cx->flcfg = flcfg; cx->flcfg_off = flcfg_off;
+    cx->rescfg = rescfg; cx->rescfg_off = rescfg_off;
+    cx->fromdB = fromdB;
+    cx->books = books;
+    return 0;
+}
+
+long vn_parse_packets(
+    const uint8_t *data, const int64_t *pkt_off, const int64_t *pkt_bits,
+    long npkt, int ch, int modebits, int nmodes, int nmaps, int submax,
+    const int32_t *mode_blockflag, const int32_t *mode_map,
+    const int32_t *map_submaps, const int32_t *map_chmux,
+    const int32_t *map_floorsub, const int32_t *map_ressub,
+    const int32_t *cpl_count, const int32_t *cpl_mag,
+    const int32_t *cpl_ang, /* per MAP, flattened with stride maxcpl */
+    int maxcpl,
+    /* books */
+    const int32_t *t1_all, const int32_t *sec_all,
+    const int64_t *soff_all, const int64_t *book_secbase,
+    const int64_t *book_soffbase, const int32_t *book_K2,
+    const float *vals_all, const int64_t *book_valbase,
+    const int32_t *book_dim, int nbooks,
+    /* configs */
+    const int32_t *flcfg, const int64_t *flcfg_off,
+    const int32_t *rescfg, const int64_t *rescfg_off,
+    const float *fromdB,          /* 256-entry floor gain table */
+    int bs0, int bs1,
+    /* outputs */
+    int32_t *out_W,               /* npkt (-1 bad/non-audio) */
+    int32_t *out_mode,            /* npkt */
+    int32_t *out_posts,           /* npkt*ch*Pmax */
+    uint8_t *out_nonzero,         /* npkt*ch */
+    float *out_res,               /* npkt*ch*n2max */
+    int Pmax, int n2max,
+    /* scratch: ch*pwmax int32 */
+    int32_t *partword_buf, int pwmax)
+{
+    vn_book books[512];
+    vn_pctx cx;
+    if (vn_pctx_init(&cx, books, ch, modebits, nmodes, nmaps, submax,
+                     mode_blockflag, mode_map, map_submaps, map_chmux,
+                     map_floorsub, map_ressub, cpl_count, cpl_mag,
+                     cpl_ang, maxcpl, t1_all, sec_all, soff_all,
+                     book_secbase, book_soffbase, book_K2, vals_all,
+                     book_valbase, book_dim, nbooks, flcfg, flcfg_off,
+                     rescfg, rescfg_off, fromdB, bs0, bs1,
+                     Pmax, n2max, pwmax) < 0)
+        return -1;
+    for (long p = 0; p < npkt; p++)
+        vn_parse_one(&cx, data + pkt_off[p], pkt_bits[p],
+                     out_W + p, out_mode + p,
+                     out_posts + (long)p * ch * Pmax,
+                     out_nonzero + (long)p * ch,
+                     out_res + (long)p * ch * n2max, partword_buf);
     return 0;
 }
 
@@ -962,20 +1221,31 @@ static void vn_bf32(float *x)
     vn_bf16(x + 16);
 }
 
-long vn_imdct_batch(
-    const float *spec, long B, int n, const float *T,
-    const int32_t *ia, const int32_t *ib, const int32_t *ta,
-    const int32_t *tb, const float *sa, const float *sb,
-    const int32_t *stageP, const int64_t *stage_off, int nstages,
-    const int32_t *tc_all,
-    const int32_t *e0, const int32_t *e1, const int32_t *tC,
-    const int32_t *tD,
-    float *out, float *y /* scratch, n/2 floats */)
+/* IMDCT lookup-table bundle (field order mirrored by the ctypes
+ * _ImTab struct in vorbis_tpu/native.py). */
+typedef struct {
+    int32_t n, nstages;
+    const float *T, *sa, *sb;
+    const int32_t *ia, *ib, *ta, *tb, *stageP, *tc_all;
+    const int32_t *e0, *e1, *tC, *tD;
+    const int64_t *stage_off;
+} vn_imtab;
+
+/* One frame's IMDCT: x (n/2) -> o (n); y is n/2 scratch.  Exact same
+ * expression trees as the original whole-batch loop. */
+static void vn_imdct1(const vn_imtab *t, const float *x, float *o,
+                      float *y)
 {
+    int n = t->n;
     int n2 = n >> 1, n4 = n >> 2, n8 = n >> 3;
-    for (long f = 0; f < B; f++) {
-        const float *x = spec + f * n2;
-        float *o = out + (long)f * n;
+    const float *T = t->T, *sa = t->sa, *sb = t->sb;
+    const int32_t *ia = t->ia, *ib = t->ib, *ta = t->ta, *tb = t->tb;
+    const int32_t *stageP = t->stageP;
+    const int64_t *stage_off = t->stage_off;
+    int nstages = t->nstages;
+    const int32_t *tc_all = t->tc_all;
+    const int32_t *e0 = t->e0, *e1 = t->e1, *tC = t->tC, *tD = t->tD;
+    {
 
         /* stage A: pre-rotation */
         for (int i = 0; i < n2; i++)
@@ -1039,6 +1309,41 @@ long vn_imdct_batch(
             }
         }
     }
+}
+
+static void vn_imtab_init(vn_imtab *t, int n, const float *T,
+                          const int32_t *ia, const int32_t *ib,
+                          const int32_t *ta, const int32_t *tb,
+                          const float *sa, const float *sb,
+                          const int32_t *stageP,
+                          const int64_t *stage_off, int nstages,
+                          const int32_t *tc_all, const int32_t *e0,
+                          const int32_t *e1, const int32_t *tC,
+                          const int32_t *tD)
+{
+    t->n = n; t->nstages = nstages;
+    t->T = T; t->sa = sa; t->sb = sb;
+    t->ia = ia; t->ib = ib; t->ta = ta; t->tb = tb;
+    t->stageP = stageP; t->tc_all = tc_all;
+    t->e0 = e0; t->e1 = e1; t->tC = tC; t->tD = tD;
+    t->stage_off = stage_off;
+}
+
+long vn_imdct_batch(
+    const float *spec, long B, int n, const float *T,
+    const int32_t *ia, const int32_t *ib, const int32_t *ta,
+    const int32_t *tb, const float *sa, const float *sb,
+    const int32_t *stageP, const int64_t *stage_off, int nstages,
+    const int32_t *tc_all,
+    const int32_t *e0, const int32_t *e1, const int32_t *tC,
+    const int32_t *tD,
+    float *out, float *y /* scratch, n/2 floats */)
+{
+    vn_imtab t;
+    vn_imtab_init(&t, n, T, ia, ib, ta, tb, sa, sb, stageP, stage_off,
+                  nstages, tc_all, e0, e1, tC, tD);
+    for (long f = 0; f < B; f++)
+        vn_imdct1(&t, spec + (long)f * (n >> 1), out + (long)f * n, y);
     return 0;
 }
 
@@ -1195,27 +1500,35 @@ static void vn_bf32_l(float *x)
     vn_bf16_l(x + 16*VNL);
 }
 
-/* Full-tile IMDCT of VNL frames.  scratch: (3*n2)*VNL floats
- * (xT | yT | zT).  Frames B must be a multiple of VNL — the Python
- * caller routes the remainder through vn_imdct_batch. */
-long vn_imdct_batch16(
-    const float *spec, long B, int n, const float *T,
-    const int32_t *ia, const int32_t *ib, const int32_t *ta,
-    const int32_t *tb, const float *sa, const float *sb,
-    const int32_t *stageP, const int64_t *stage_off, int nstages,
-    const int32_t *tc_all,
-    const int32_t *e0, const int32_t *e1, const int32_t *tC,
-    const int32_t *tD,
-    float *out, float *scratch)
+/* Full tile of VNL frames from per-lane row pointers.  scratch:
+ * (3*n2)*VNL floats (xT | yT | zT).  win == NULL: plain frame-major
+ * stores to dst[l] (the vn_imdct_batch16 contract).  win != NULL:
+ * the symmetric expansion is FUSED with the windowed lapped
+ * overlap-add — dst[l][i] += o_i * win[l][i] — which is bitwise
+ * identical to storing o and running vn_lap_add afterwards (same
+ * multiply-then-add per sample; float addition into the accumulator
+ * is commutative, and every output sample receives contributions from
+ * at most the two adjacent blocks). */
+static void vn_imdct16_rows(const vn_imtab *t, const float **rows,
+                            float *scratch, float **dst,
+                            const float **win)
 {
+    int n = t->n;
     int n2 = n >> 1, n4 = n >> 2, n8 = n >> 3;
+    const float *T = t->T, *sa = t->sa, *sb = t->sb;
+    const int32_t *ia = t->ia, *ib = t->ib, *ta = t->ta, *tb = t->tb;
+    const int32_t *stageP = t->stageP;
+    const int64_t *stage_off = t->stage_off;
+    int nstages = t->nstages;
+    const int32_t *tc_all = t->tc_all;
+    const int32_t *e0 = t->e0, *e1 = t->e1, *tC = t->tC, *tD = t->tD;
     float *xT = scratch;
     float *yT = scratch + (long)n2 * VNL;
     float *zT = scratch + 2L * n2 * VNL;
-    for (long f0 = 0; f0 + VNL <= B; f0 += VNL) {
+    {
         /* transpose in: lane-major tile */
         for (int l = 0; l < VNL; l++) {
-            const float *x = spec + (f0 + l) * (long)n2;
+            const float *x = rows[l];
             for (int i = 0; i < n2; i++)
                 xT[(long)i * VNL + l] = x[i];
         }
@@ -1301,14 +1614,342 @@ long vn_imdct_batch16(
 
         /* symmetric expansion, transposing back to frame-major */
         for (int l = 0; l < VNL; l++) {
-            float *o = out + (f0 + l) * (long)n;
-            for (int i = 0; i < n4; i++) {
-                o[i] = yT[(long)(n4 - 1 - i) * VNL + l];
-                o[n4 + i] = -yT[(long)i * VNL + l];
-                o[n2 + i] = yT[((long)n4 + (n4 - 1 - i)) * VNL + l];
-                o[n2 + n4 + i] = yT[((long)n4 + i) * VNL + l];
+            float *o = dst[l];
+            if (win) {
+                const float *w = win[l];
+                for (int i = 0; i < n4; i++) {
+                    o[i] += yT[(long)(n4 - 1 - i) * VNL + l] * w[i];
+                    o[n4 + i] += (-yT[(long)i * VNL + l]) * w[n4 + i];
+                    o[n2 + i] += yT[((long)n4 + (n4 - 1 - i)) * VNL + l]
+                        * w[n2 + i];
+                    o[n2 + n4 + i] += yT[((long)n4 + i) * VNL + l]
+                        * w[n2 + n4 + i];
+                }
+            } else {
+                for (int i = 0; i < n4; i++) {
+                    o[i] = yT[(long)(n4 - 1 - i) * VNL + l];
+                    o[n4 + i] = -yT[(long)i * VNL + l];
+                    o[n2 + i] = yT[((long)n4 + (n4 - 1 - i)) * VNL + l];
+                    o[n2 + n4 + i] = yT[((long)n4 + i) * VNL + l];
+                }
             }
         }
     }
+}
+
+/* Full-tile IMDCT of VNL frames.  scratch: (3*n2)*VNL floats
+ * (xT | yT | zT).  Frames B must be a multiple of VNL — the Python
+ * caller routes the remainder through vn_imdct_batch. */
+long vn_imdct_batch16(
+    const float *spec, long B, int n, const float *T,
+    const int32_t *ia, const int32_t *ib, const int32_t *ta,
+    const int32_t *tb, const float *sa, const float *sb,
+    const int32_t *stageP, const int64_t *stage_off, int nstages,
+    const int32_t *tc_all,
+    const int32_t *e0, const int32_t *e1, const int32_t *tC,
+    const int32_t *tD,
+    float *out, float *scratch)
+{
+    vn_imtab t;
+    const float *rows[VNL];
+    float *dst[VNL];
+    int n2 = n >> 1;
+    vn_imtab_init(&t, n, T, ia, ib, ta, tb, sa, sb, stageP, stage_off,
+                  nstages, tc_all, e0, e1, tC, tD);
+    for (long f0 = 0; f0 + VNL <= B; f0 += VNL) {
+        for (int l = 0; l < VNL; l++) {
+            rows[l] = spec + (f0 + l) * (long)n2;
+            dst[l] = out + (f0 + l) * (long)n;
+        }
+        vn_imdct16_rows(&t, rows, scratch, dst, 0);
+    }
     return 0;
+}
+
+/* ===================================================================
+ * Fused whole-stream decode + native Ogg layer.
+ *
+ * vn_decode_stream runs the ENTIRE per-stream decode drain in one
+ * call, chunked for cache locality: parse CH packets into an
+ * L2-resident residue scratch (vn_parse_one), IMDCT each packet's
+ * channels through the 16-lane frame-tiled kernel with the windowed
+ * lapped overlap-add FUSED into the symmetric expansion, remainder
+ * frames through the scalar kernel.  Compared to the staged drain
+ * (whole-stream residue/block arrays materialized between stages)
+ * this touches ~100x less intermediate memory per stream.
+ * Bit-exactness: identical per-packet expression trees; see
+ * vn_imdct16_rows on scatter-add order.
+ */
+
+#include <stdlib.h>
+
+/* Read just the W (blockflag) of every packet — the Python caller
+ * needs the block schedule (output offsets, windows) before the fused
+ * call.  out_W[p] = -1 for bad/non-audio packets. */
+long vn_scan_W(const uint8_t *data, const int64_t *pkt_off,
+               const int64_t *pkt_bits, long npkt, int modebits,
+               int nmodes, const int32_t *mode_blockflag,
+               int32_t *out_W)
+{
+    for (long p = 0; p < npkt; p++) {
+        const uint8_t *pd = data + pkt_off[p];
+        long nbits = pkt_bits[p];
+        long pos = 0;
+        out_W[p] = -1;
+        if (rd_bits(pd, nbits, &pos, 1) != 0)
+            continue;
+        long mode = rd_bits(pd, nbits, &pos, modebits);
+        if (mode < 0 || mode >= nmodes)
+            continue;
+        int W = mode_blockflag[mode];
+        if (W && rd_bits(pd, nbits, &pos, 2) < 0)
+            continue;
+        out_W[p] = W;
+    }
+    return 0;
+}
+
+long vn_decode_stream(
+    const uint8_t *data, const int64_t *pkt_off, const int64_t *pkt_bits,
+    long npkt, int ch, int modebits, int nmodes, int nmaps, int submax,
+    const int32_t *mode_blockflag, const int32_t *mode_map,
+    const int32_t *map_submaps, const int32_t *map_chmux,
+    const int32_t *map_floorsub, const int32_t *map_ressub,
+    const int32_t *cpl_count, const int32_t *cpl_mag,
+    const int32_t *cpl_ang, int maxcpl,
+    const int32_t *t1_all, const int32_t *sec_all,
+    const int64_t *soff_all, const int64_t *book_secbase,
+    const int64_t *book_soffbase, const int32_t *book_K2,
+    const float *vals_all, const int64_t *book_valbase,
+    const int32_t *book_dim, int nbooks,
+    const int32_t *flcfg, const int64_t *flcfg_off,
+    const int32_t *rescfg, const int64_t *rescfg_off,
+    const float *fromdB, int bs0, int bs1,
+    int Pmax, int n2max, int pwmax,
+    /* schedule (from vn_scan_W + host prefix sums) */
+    const int64_t *offs,          /* per-packet output sample offset */
+    const int32_t *winid,         /* per-packet window id (0..7) */
+    const float *wins,            /* concatenated hybrid windows */
+    const int64_t *win_off,       /* 8 offsets into wins */
+    /* imdct tables (short then long block size) */
+    const vn_imtab *tab0, const vn_imtab *tab1,
+    /* output */
+    float *out, long outlen,
+    int32_t *out_W,               /* npkt */
+    int CH)                       /* chunk packets (cache tile) */
+{
+    vn_book books[512];
+    vn_pctx cx;
+    if (vn_pctx_init(&cx, books, ch, modebits, nmodes, nmaps, submax,
+                     mode_blockflag, mode_map, map_submaps, map_chmux,
+                     map_floorsub, map_ressub, cpl_count, cpl_mag,
+                     cpl_ang, maxcpl, t1_all, sec_all, soff_all,
+                     book_secbase, book_soffbase, book_K2, vals_all,
+                     book_valbase, book_dim, nbooks, flcfg, flcfg_off,
+                     rescfg, rescfg_off, fromdB, bs0, bs1,
+                     Pmax, n2max, pwmax) < 0)
+        return -1;
+    if (CH < 1)
+        CH = 128;
+    {
+        long lanes_cap = (long)CH * ch;
+        float *res = malloc((size_t)CH * ch * n2max * sizeof(float));
+        int32_t *posts = malloc((size_t)CH * ch * Pmax
+                                * sizeof(int32_t));
+        uint8_t *nz = malloc((size_t)CH * ch);
+        int32_t *mode_s = malloc((size_t)CH * sizeof(int32_t));
+        int32_t *pword = malloc((size_t)ch * pwmax * sizeof(int32_t));
+        const float **rows = malloc(lanes_cap * sizeof(float *));
+        float **dst = malloc(lanes_cap * sizeof(float *));
+        const float **win = malloc(lanes_cap * sizeof(float *));
+        long n2b = bs1 > bs0 ? bs1 : bs0;
+        float *imsc = malloc((size_t)3 * (n2b / 2) * VNL
+                             * sizeof(float));
+        float *ybuf = malloc((size_t)(n2b / 2) * sizeof(float));
+        float *obuf = malloc((size_t)n2b * sizeof(float));
+        if (!res || !posts || !nz || !mode_s || !pword || !rows
+            || !dst || !win || !imsc || !ybuf || !obuf) {
+            free(res); free(posts); free(nz); free(mode_s);
+            free(pword); free(rows); free(dst); free(win);
+            free(imsc); free(ybuf); free(obuf);
+            return -2;
+        }
+        for (long p0 = 0; p0 < npkt; p0 += CH) {
+            long p1 = p0 + CH < npkt ? p0 + CH : npkt;
+            for (long p = p0; p < p1; p++)
+                vn_parse_one(&cx, data + pkt_off[p], pkt_bits[p],
+                             out_W + p, mode_s + (p - p0),
+                             posts + (p - p0) * (long)ch * Pmax,
+                             nz + (p - p0) * (long)ch,
+                             res + (p - p0) * (long)ch * n2max,
+                             pword);
+            for (int Wv = 0; Wv < 2; Wv++) {
+                const vn_imtab *t = Wv ? tab1 : tab0;
+                int n = Wv ? bs1 : bs0;
+                long k = 0;
+                for (long p = p0; p < p1; p++) {
+                    if (out_W[p] != Wv)
+                        continue;
+                    for (int c = 0; c < ch; c++) {
+                        rows[k] = res
+                            + ((p - p0) * (long)ch + c) * n2max;
+                        dst[k] = out + (long)c * outlen + offs[p];
+                        win[k] = wins + win_off[winid[p]];
+                        k++;
+                    }
+                }
+                {
+                    long kt = (k / VNL) * VNL;
+                    for (long o = 0; o < kt; o += VNL)
+                        vn_imdct16_rows(t, rows + o, imsc, dst + o,
+                                        win + o);
+                    for (long l = kt; l < k; l++) {
+                        vn_imdct1(t, rows[l], obuf, ybuf);
+                        {
+                            float *d = dst[l];
+                            const float *w = win[l];
+                            for (int i = 0; i < n; i++)
+                                d[i] += obuf[i] * w[i];
+                        }
+                    }
+                }
+            }
+        }
+        free(res); free(posts); free(nz); free(mode_s); free(pword);
+        free(rows); free(dst); free(win); free(imsc); free(ybuf);
+        free(obuf);
+    }
+    return 0;
+}
+
+/* -------------------------------------------------------------------
+ * Native Ogg physical-layer scan: pages -> packets in ONE call.
+ *
+ * Mirrors bitstream/oggfile.py OggStreamReader._scan + .packets()
+ * exactly: capture-pattern search with 1-byte resync on damage, CRC
+ * check per page (field zeroed), first-BOS serial selection, lacing
+ * reassembly with the same hole semantics for orphan continuation
+ * segments.  Every packet's bytes are memcpy'd into `blob` (cap >=
+ * total stream bytes + 8 slack) so downstream consumers read one
+ * dense buffer + offsets — the vn_parse_packets /
+ * vn_decode_stream input contract.
+ *
+ * Returns the packet count (<= maxpkt; -1 on overflow).  serial_io:
+ * pass -1 to auto-select the first BOS serial (written back).
+ */
+long vn_ogg_scan(const uint8_t *data, long n, int64_t *serial_io,
+                 uint8_t *blob,
+                 int64_t *off, int64_t *len, int64_t *gp,
+                 uint8_t *eos, long maxpkt)
+{
+    long pos = 0;
+    long npkt = 0;
+    long blob_pos = 0;
+    long cur_start = 0;       /* current partial packet start in blob */
+    long cur_len = 0;
+    int have_partial = 0;
+    int64_t serial = *serial_io;
+    while (pos + 27 <= n) {
+        /* find capture pattern */
+        while (pos + 27 <= n
+               && !(data[pos] == 'O' && data[pos + 1] == 'g'
+                    && data[pos + 2] == 'g' && data[pos + 3] == 'S'))
+            pos++;
+        if (pos + 27 > n)
+            break;
+        {
+            int version = data[pos + 4];
+            int htype = data[pos + 5];
+            uint64_t gpu = 0;
+            uint32_t pserial = 0, crc_want = 0;
+            int nsegs;
+            long body_len = 0, total;
+            for (int k = 7; k >= 0; k--)
+                gpu = (gpu << 8) | data[pos + 6 + k];
+            for (int k = 3; k >= 0; k--)
+                pserial = (pserial << 8) | data[pos + 14 + k];
+            for (int k = 3; k >= 0; k--)
+                crc_want = (crc_want << 8) | data[pos + 22 + k];
+            nsegs = data[pos + 26];
+            if (version != 0 || pos + 27 + nsegs > n) {
+                pos++;
+                continue;
+            }
+            for (int s = 0; s < nsegs; s++)
+                body_len += data[pos + 27 + s];
+            total = 27 + nsegs + body_len;
+            if (pos + total > n) {
+                pos++;
+                continue;
+            }
+            /* CRC with the crc field zeroed */
+            {
+                uint32_t crc = (uint32_t)vn_ogg_crc(data + pos, 22, 0);
+                uint8_t z[4] = {0, 0, 0, 0};
+                crc = (uint32_t)vn_ogg_crc(z, 4, crc);
+                crc = (uint32_t)vn_ogg_crc(data + pos + 26, total - 26,
+                                           crc);
+                if (crc != crc_want) {
+                    pos++;
+                    continue;
+                }
+            }
+            if (serial < 0 && (htype & 2))       /* first BOS */
+                serial = (int64_t)pserial;
+            if (serial < 0 || (int64_t)pserial != serial) {
+                pos += total;
+                continue;
+            }
+            {
+                const uint8_t *lacing = data + pos + 27;
+                const uint8_t *body = lacing + nsegs;
+                long bo = 0;
+                int s0 = 0;
+                long last_done = -1;     /* last pkt completed here */
+                if ((htype & 1) && !have_partial) {
+                    /* hole: drop continuation segments we can't
+                     * complete (and their terminator) */
+                    while (s0 < nsegs && lacing[s0] == 255) {
+                        bo += 255;
+                        s0++;
+                    }
+                    if (s0 < nsegs) {
+                        bo += lacing[s0];
+                        s0++;
+                    }
+                    cur_start = blob_pos;
+                    cur_len = 0;
+                }
+                for (int s = s0; s < nsegs; s++) {
+                    int l = lacing[s];
+                    memcpy(blob + cur_start + cur_len, body + bo,
+                           (size_t)l);
+                    cur_len += l;
+                    bo += l;
+                    if (l < 255) {
+                        if (npkt >= maxpkt)
+                            return -1;
+                        off[npkt] = cur_start;
+                        len[npkt] = cur_len;
+                        gp[npkt] = -1;
+                        eos[npkt] = 0;
+                        last_done = npkt;
+                        npkt++;
+                        cur_start += cur_len;
+                        cur_len = 0;
+                    }
+                }
+                blob_pos = cur_start + cur_len;
+                have_partial = cur_len > 0
+                    || (nsegs > 0 && lacing[nsegs - 1] == 255);
+                if (last_done >= 0) {
+                    gp[last_done] = (int64_t)gpu;
+                    eos[last_done] = (htype & 4) ? 1 : 0;
+                }
+            }
+            pos += total;
+        }
+    }
+    *serial_io = serial;
+    return npkt;
 }

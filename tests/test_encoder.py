@@ -247,3 +247,45 @@ def test_bit_usage_accounting():
         dec.decode_packet(p.data, p.granulepos, p.eos)
     for k in ("packets", "glue_bits", "floor_bits", "res_bits"):
         assert dec.bit_stats[k] == st[k], k
+
+
+@needs_ref
+def test_golden_packets_ratemanage2_vbr_to_managed(tmp_path):
+    """OV_ECTL_RATEMANAGE2_SET converting a VBR setup to managed
+    (vorbisenc.c:1106-1171): the reservoir parameters land in the
+    bitrate manager and the managed encode stays byte-identical to
+    the reference."""
+    import json
+    oracle.build_reflib()
+    pcm = oracle.make_test_signal(seconds=0.3)
+    rm2 = {"management_active": 1, "min": -1, "max": -1,
+           "reservoir": 131072, "bias": 0.2, "av": 128, "damp": 1.4}
+    pcm_path = tmp_path / "pcm.npy"
+    out_path = tmp_path / "ref.pkl"
+    np.save(pcm_path, pcm)
+    subprocess.run([sys.executable, os.path.join(TOOLS, "ref_encode.py"),
+                    str(pcm_path), "44100", "0.4", str(out_path), "0",
+                    json.dumps({"ratemanage2": rm2})], check=True,
+                   capture_output=True, text=True)
+    with open(out_path, "rb") as f:
+        ref = pickle.load(f)
+    b = encsetup.setup_vbr_staged(2, 44100, 0.4)
+    b.ctl_ratemanage2_set({
+        "management_active": True,
+        "bitrate_limit_min_kbps": -1,
+        "bitrate_limit_max_kbps": -1,
+        "bitrate_average_kbps": 128,
+        "bitrate_average_damping": 1.4,
+        "bitrate_limit_reservoir_bits": 131072,
+        "bitrate_limit_reservoir_bias": 0.2,
+    })
+    enc = Encoder(b.init())
+    enc.write(pcm)
+    enc.end_of_stream()
+    mine = enc.pump()
+    h = enc.header_packets()
+    assert h[0] == ref["headers"][0] and h[2] == ref["headers"][2]
+    assert len(mine) == len(ref["packets"])
+    for i, (m, (rb, rgp, reos)) in enumerate(zip(mine, ref["packets"])):
+        assert m.data == rb and m.granulepos == rgp \
+            and bool(m.eos) == bool(reos), f"packet {i} differs"

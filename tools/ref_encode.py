@@ -70,6 +70,23 @@ def main():
     if "coupling" in ctl:
         v = C.c_int(ctl["coupling"])
         assert lib.vorbis_encode_ctl(C.byref(vi), 0x41, C.byref(v)) == 0
+    if "ratemanage2" in ctl:
+        # OV_ECTL_RATEMANAGE2_SET (vorbisenc.h:269-289, code 0x15)
+        class rm2(C.Structure):
+            _fields_ = [("management_active", C.c_int),
+                        ("bitrate_limit_min_kbps", C.c_long),
+                        ("bitrate_limit_max_kbps", C.c_long),
+                        ("bitrate_limit_reservoir_bits", C.c_long),
+                        ("bitrate_limit_reservoir_bias", C.c_double),
+                        ("bitrate_average_kbps", C.c_long),
+                        ("bitrate_average_damping", C.c_double)]
+
+        a = ctl["ratemanage2"]
+        v = rm2(int(a["management_active"]), int(a["min"]),
+                int(a["max"]), int(a["reservoir"]), float(a["bias"]),
+                int(a["av"]), float(a["damp"]))
+        assert lib.vorbis_encode_ctl(C.byref(vi), 0x15,
+                                     C.byref(v)) == 0
     r = lib.vorbis_encode_setup_init(C.byref(vi))
     assert r == 0, r
     vd = _blob(4096)

@@ -136,8 +136,14 @@ def floor0_curve(memo: np.ndarray, look: Floor0Look, n: int) -> np.ndarray:
             q = f32(q * f32(q * f32(2.0 + w)))
         # q = fromdB(amp/sqrt(p+q) - ampoffset): p+q is a FLOAT add,
         # the rest is double; fromdB is exp(x*.11512925f) in double,
-        # stored once to float
-        val = amp / math.sqrt(float(f32(p + q))) - ampoffset
+        # stored once to float.  p+q is always >= 0 (both end as
+        # squares times nonnegative factors); p+q == 0 divides to
+        # +inf in C (amp > 0 here), which exp carries to +inf.
+        pq = float(f32(p + q))
+        if pq > 0.0:
+            val = amp / math.sqrt(pq) - ampoffset
+        else:
+            val = math.inf
         try:
             ev = math.exp(val * float(f32(0.11512925)))
         except OverflowError:           # C exp() overflows to inf

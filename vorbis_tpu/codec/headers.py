@@ -215,6 +215,20 @@ def _unpack_floor1(r: BitReader, vi: VorbisInfo) -> Floor1Info:
                       class_book, class_subbook, mult, rangebits, postlist)
 
 
+def _pack_floor0(w: BitWriter, info: Floor0Info) -> None:
+    """floor0_pack (reference lib/floor0.c layout mirror of
+    _unpack_floor0; no modern encoder template emits it, but legacy
+    setups round-trip through it)."""
+    w.write(info.order, 8)
+    w.write(info.rate, 16)
+    w.write(info.barkmap, 16)
+    w.write(info.ampbits, 6)
+    w.write(info.ampdB, 8)
+    w.write(len(info.books) - 1, 4)
+    for b in info.books:
+        w.write(b, 8)
+
+
 def _pack_floor1(w: BitWriter, info: Floor1Info) -> None:
     w.write(info.partitions, 5)
     maxclass = -1
@@ -462,7 +476,7 @@ def pack_setup_header(vi: VorbisInfo) -> bytes:
         if t == 1:
             _pack_floor1(w, fl)
         else:
-            raise NotImplementedError("floor0 pack not used by encoder")
+            _pack_floor0(w, fl)
     w.write(len(vi.residues) - 1, 6)
     for t, res in zip(vi.residue_types, vi.residues):
         w.write(t, 16)

@@ -43,14 +43,15 @@ class StreamParseTables:
     def _check(vi):
         """Returns None when native-decodable, else a human-readable
         reason (surfaced by the caller so the scalar-speed fallback is
-        never silent)."""
+        never silent).  Floor types 0 AND 1 both ride the native
+        drain."""
         if vi.channels > _MAXCH:
             return f"{vi.channels} channels > {_MAXCH}"
         if len(vi.books) > 512:
             return f"{len(vi.books)} codebooks > 512"
-        for t in vi.floor_types:
-            if t != 1:
-                return f"floor type {t} (legacy LSP floor)"
+        for t, f in zip(vi.floor_types, vi.floors):
+            if t == 0 and f.order + 8 > 500:
+                return f"floor0 order {f.order} too large"
         from ..native import _load
         if _load() is None:
             return "native library unavailable"
@@ -95,34 +96,51 @@ class StreamParseTables:
         self.book_valbase = np.asarray(valbase, np.int64)
         self.book_dim = np.asarray(dims, np.int32)
 
-        # ---- floor configs ----
+        # ---- floor configs (type-tagged: cfg[0] = floor type) ----
+        from .floor0_codec import Floor0Look
         from .floor1_codec import Floor1Look
         fl_flat, fl_off = [], []
         self.floor_looks = []
         acc = 0
-        for info in vi.floors:
-            look = Floor1Look(info)
-            self.floor_looks.append(look)
-            P = look.posts
-            nclasses = max(info.partitionclass) + 1 if info.partitions else 0
-            cfg = [P, ilog(look.quant_q - 1), info.partitions,
-                   look.quant_q, nclasses]
-            cfg += list(info.partitionclass)
-            for cl in range(nclasses):
-                sub = list(info.class_subbook[cl]) + [-1] * 8
-                cfg += [info.class_dim[cl], info.class_subs[cl],
-                        info.class_book[cl]] + sub[:8]
-            cfg += list(info.postlist)
-            cfg += list(look.loneighbor)
-            cfg += list(look.hineighbor)
-            cfg += [info.mult]
-            cfg += list(look.forward_index)
+        Pmax = 1
+        n2_0 = vi.blocksizes[0] // 2
+        n2_1 = vi.blocksizes[1] // 2
+        for ftype, info in zip(vi.floor_types, vi.floors):
+            if ftype == 0:
+                look = Floor0Look(info)
+                self.floor_looks.append(look)
+                cfg = [0, look.m, info.ampbits, info.ampdB,
+                       len(info.books)]
+                cfg += list(info.books)
+                cfg += [look.ln]
+                cfg += [int(v) for v in look.get_map(n2_0)]
+                cfg += [int(v) for v in look.get_map(n2_1)]
+                Pmax = max(Pmax, look.m + 1)
+            else:
+                look = Floor1Look(info)
+                self.floor_looks.append(look)
+                P = look.posts
+                nclasses = (max(info.partitionclass) + 1
+                            if info.partitions else 0)
+                cfg = [1, P, ilog(look.quant_q - 1), info.partitions,
+                       look.quant_q, nclasses]
+                cfg += list(info.partitionclass)
+                for cl in range(nclasses):
+                    sub = list(info.class_subbook[cl]) + [-1] * 8
+                    cfg += [info.class_dim[cl], info.class_subs[cl],
+                            info.class_book[cl]] + sub[:8]
+                cfg += list(info.postlist)
+                cfg += list(look.loneighbor)
+                cfg += list(look.hineighbor)
+                cfg += [info.mult]
+                cfg += list(look.forward_index)
+                Pmax = max(Pmax, P)
             fl_off.append(acc)
             fl_flat.extend(cfg)
             acc += len(cfg)
         self.flcfg = np.asarray(fl_flat, np.int32)
         self.flcfg_off = np.asarray(fl_off, np.int64)
-        self.Pmax = max(lk.posts for lk in self.floor_looks)
+        self.Pmax = Pmax
         from .floor1_codec import fromdB_lookup
         self.fromdB = np.ascontiguousarray(fromdB_lookup(), np.float32)
 
@@ -199,6 +217,36 @@ class StreamParseTables:
         self.pwmax = int(pwmax)
 
 
+def _ptr(a):
+    return C.c_void_p(a.ctypes.data)
+
+
+def _cfg_args(tables: StreamParseTables):
+    """The flat stream-config ctypes argument list shared by
+    vn_parse_packets / vn_scan_W / vn_decode_stream (everything after
+    data/off/bits/npkt up through the blocksizes)."""
+    vi = tables.vi
+    return [
+        C.c_int(vi.channels), C.c_int(tables.modebits),
+        C.c_int(tables.nmodes),
+        C.c_int(tables.nmaps), C.c_int(tables.submax),
+        _ptr(tables.mode_blockflag), _ptr(tables.mode_map),
+        _ptr(tables.map_submaps), _ptr(tables.map_chmux),
+        _ptr(tables.map_floorsub), _ptr(tables.map_ressub),
+        _ptr(tables.cpl_count), _ptr(tables.cpl_mag),
+        _ptr(tables.cpl_ang), C.c_int(tables.maxcpl),
+        _ptr(tables.t1_all), _ptr(tables.sec_all),
+        _ptr(tables.soff_all),
+        _ptr(tables.book_secbase), _ptr(tables.book_soffbase),
+        _ptr(tables.book_K2),
+        _ptr(tables.vals_all), _ptr(tables.book_valbase),
+        _ptr(tables.book_dim), C.c_int(len(vi.books)),
+        _ptr(tables.flcfg), _ptr(tables.flcfg_off),
+        _ptr(tables.rescfg), _ptr(tables.rescfg_off),
+        _ptr(tables.fromdB),
+        C.c_int(vi.blocksizes[0]), C.c_int(vi.blocksizes[1])]
+
+
 def parse_packets(tables: StreamParseTables, packets: list[bytes]):
     """Parse all audio packets natively.
 
@@ -231,30 +279,58 @@ def parse_packets(tables: StreamParseTables, packets: list[bytes]):
         fn.argtypes = None     # varargs-style: pass ctypes explicitly
         L._vn_parse_sig = True
 
-    def ptr(a):
-        return C.c_void_p(a.ctypes.data)
-
-    rc = fn(ptr(blob), ptr(off), ptr(bits), C.c_long(npkt),
-            C.c_int(ch), C.c_int(tables.modebits), C.c_int(tables.nmodes),
-            C.c_int(tables.nmaps), C.c_int(tables.submax),
-            ptr(tables.mode_blockflag), ptr(tables.mode_map),
-            ptr(tables.map_submaps), ptr(tables.map_chmux),
-            ptr(tables.map_floorsub), ptr(tables.map_ressub),
-            ptr(tables.cpl_count), ptr(tables.cpl_mag),
-            ptr(tables.cpl_ang), C.c_int(tables.maxcpl),
-            ptr(tables.t1_all), ptr(tables.sec_all), ptr(tables.soff_all),
-            ptr(tables.book_secbase), ptr(tables.book_soffbase),
-            ptr(tables.book_K2),
-            ptr(tables.vals_all), ptr(tables.book_valbase),
-            ptr(tables.book_dim), C.c_int(len(vi.books)),
-            ptr(tables.flcfg), ptr(tables.flcfg_off),
-            ptr(tables.rescfg), ptr(tables.rescfg_off),
-            ptr(tables.fromdB),
-            C.c_int(vi.blocksizes[0]), C.c_int(vi.blocksizes[1]),
-            ptr(out_W), ptr(out_mode), ptr(out_posts),
-            ptr(out_nonzero), ptr(out_res),
+    rc = fn(_ptr(blob), _ptr(off), _ptr(bits), C.c_long(npkt),
+            *_cfg_args(tables),
+            _ptr(out_W), _ptr(out_mode), _ptr(out_posts),
+            _ptr(out_nonzero), _ptr(out_res),
             C.c_int(tables.Pmax), C.c_int(n2max),
-            ptr(scratch), C.c_int(tables.pwmax))
+            _ptr(scratch), C.c_int(tables.pwmax))
     if rc != 0:
         raise RuntimeError("vn_parse_packets failed")
     return out_W, out_mode, out_posts, out_nonzero, out_res
+
+
+def scan_W(tables: StreamParseTables, blob, off, bits):
+    """Per-packet block flags only (vn_scan_W): -1 = bad packet."""
+    from ..native import _load
+    L = _load()
+    npkt = len(off)
+    out_W = np.empty(npkt, np.int32)
+    if not getattr(L, "_scan_W_sig", False):
+        L.vn_scan_W.restype = C.c_long
+        L.vn_scan_W.argtypes = None
+        L._scan_W_sig = True
+    L.vn_scan_W(_ptr(blob), _ptr(off), _ptr(bits), C.c_long(npkt),
+                C.c_int(tables.modebits), C.c_int(tables.nmodes),
+                _ptr(tables.mode_blockflag), _ptr(out_W))
+    return out_W
+
+
+def decode_stream(tables: StreamParseTables, blob, off, bits,
+                  offs, winid, wins, win_off, out, out_W, CH=128):
+    """Fused whole-stream decode (vn_decode_stream): Huffman parse +
+    residue accumulate + coupling + floor render + IMDCT + windowed
+    lapped overlap-add, chunked for cache locality, in ONE native
+    call.  out (ch, outlen) float32 accumulates the lapped PCM at the
+    caller-computed per-packet offsets."""
+    from ..native import _load, imdct_tab
+    L = _load()
+    vi = tables.vi
+    npkt = len(off)
+    tab0 = imdct_tab(vi.blocksizes[0])
+    tab1 = imdct_tab(vi.blocksizes[1])
+    if not getattr(L, "_dec_stream_sig", False):
+        L.vn_decode_stream.restype = C.c_long
+        L.vn_decode_stream.argtypes = None
+        L._dec_stream_sig = True
+    rc = L.vn_decode_stream(
+        _ptr(blob), _ptr(off), _ptr(bits), C.c_long(npkt),
+        *_cfg_args(tables),
+        C.c_int(tables.Pmax), C.c_int(vi.blocksizes[1] // 2),
+        C.c_int(tables.pwmax),
+        _ptr(offs), _ptr(winid), _ptr(wins), _ptr(win_off),
+        C.byref(tab0), C.byref(tab1),
+        _ptr(out), C.c_long(out.shape[1]),
+        _ptr(out_W), C.c_int(CH))
+    if rc != 0:
+        raise RuntimeError(f"vn_decode_stream failed ({rc})")

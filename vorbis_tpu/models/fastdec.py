@@ -32,9 +32,31 @@ import numpy as np
 
 from ..codec import headers as H
 from ..codec.floor1_codec import fromdB_lookup
-from ..codec.nativeparse import StreamParseTables, parse_packets
+from ..codec.nativeparse import (StreamParseTables, decode_stream,
+                                 parse_packets, scan_W)
 from ..ops.mdct import imdct
 from ..ops.window import hybrid_window
+
+_WIN_CACHE = {}
+
+
+def _win_table(bs0, bs1):
+    """Concatenated hybrid windows for all 8 (lW, W, nW) ids plus the
+    per-id offsets (the vn_decode_stream window table)."""
+    key = (bs0, bs1)
+    if key not in _WIN_CACHE:
+        wins, offs = [], []
+        acc = 0
+        for wid in range(8):
+            l, w, nx = (wid >> 2) & 1, (wid >> 1) & 1, wid & 1
+            arr = hybrid_window(bs0, bs1, l, w, nx)
+            offs.append(acc)
+            wins.append(arr)
+            acc += len(arr)
+        _WIN_CACHE[key] = (
+            np.ascontiguousarray(np.concatenate(wins), np.float32),
+            np.asarray(offs, np.int64))
+    return _WIN_CACHE[key]
 
 
 class FastDecodeUnsupported(Exception):
@@ -295,39 +317,83 @@ class FastDecoder:
                 out[:, o:o + int(ns[k])] += pcm[k] * wins[key]
 
         # ---- output range + granulepos trimming ----
+        gp_arr = np.asarray([-1 if g is None else int(g)
+                             for g in gps], np.int64)
+        eos_arr = np.asarray(eoss, bool)
+        lo, hi = self._trim_range(centers, base, gp_arr, eos_arr)
+        return out[:, lo:hi]
+
+    @staticmethod
+    def _trim_range(centers, base, gps, eoss):
+        """Vectorized granulepos walk (same semantics as the scalar
+        blockin/granulepos state machine): the first label sets the
+        start trim (or end cut at eos), every later label's expected-
+        vs-actual overshoot cuts the tail only at eos — run_gp resets
+        at each label, so consecutive label pairs decide
+        independently."""
         first_out = int(centers[0] - base)      # center of block 0
         last_out = int(centers[-1] - base)      # center of last block
-        # sample_count after block i (i>=1) = centers[i]-centers[0]
         start_trim = 0
         end_cut = 0
-        anchor = None                            # (pkt index, gp)
-        for k in range(npkt):
-            if gps[k] is not None and gps[k] >= 0:
-                anchor = (k, int(gps[k]))
-                break
-        if anchor is not None:
-            k, gp = anchor
+        lbl = np.flatnonzero(gps >= 0)
+        if len(lbl):
+            k = int(lbl[0])
+            g0 = int(gps[k])
             sc = int(centers[k] - centers[0])
-            if sc > gp:
-                extra = sc - gp
+            if sc > g0:
                 if eoss[k]:
-                    end_cut = max(end_cut, extra)
+                    end_cut = sc - g0
                 else:
-                    start_trim = extra
-            # walk remaining granulepos: mismatches only matter at eos
-            run_gp = gp
-            last_k = k
-            for k2 in range(k + 1, npkt):
-                if gps[k2] is None or gps[k2] < 0:
-                    continue
-                run_gp += int(centers[k2] - centers[last_k])
-                if run_gp != gps[k2]:
-                    if run_gp > gps[k2] and eoss[k2]:
-                        end_cut = max(end_cut, run_gp - int(gps[k2]))
-                    run_gp = int(gps[k2])
-                last_k = k2
+                    start_trim = sc - g0
+            if len(lbl) > 1:
+                run = gps[lbl[:-1]] + (centers[lbl[1:]]
+                                       - centers[lbl[:-1]])
+                over = run - gps[lbl[1:]]
+                m = (over > 0) & eoss[lbl[1:]]
+                if m.any():
+                    end_cut = max(end_cut, int(over[m].max()))
         lo = first_out + start_trim
         hi = max(lo, last_out - end_cut)
+        return lo, hi
+
+    def decode_arrays(self, blob, off, lens, gps, eoss,
+                      CH=128) -> np.ndarray:
+        """Fused native whole-stream decode from dense packet arrays
+        (the vn_ogg_scan output form): ONE native call runs Huffman
+        parse, residue accumulate, inverse coupling, floor render,
+        IMDCT and the windowed lapped overlap-add, chunked CH packets
+        at a time so every intermediate stays cache-resident.
+        Bit-exact with decode_packets (same expression trees; see
+        vn_imdct16_rows on scatter-add order)."""
+        vi = self.vi
+        ch = vi.channels
+        bs0, bs1 = vi.blocksizes
+        npkt = len(off)
+        if npkt == 0:
+            return np.zeros((ch, 0), np.float32)
+        bits = lens * 8
+        W = scan_W(self.tables, blob, off, bits)
+        if (W < 0).any():
+            raise FastDecodeUnsupported("bad packet in stream")
+        ns = np.where(W == 1, bs1, bs0).astype(np.int64)
+        adv = np.zeros(npkt, np.int64)
+        adv[1:] = ns[:-1] // 4 + ns[1:] // 4
+        centers = np.cumsum(adv)
+        starts = centers - ns // 2
+        base = starts.min()
+        total_len = int((centers[-1] + ns[-1] // 2) - base)
+        lW = np.concatenate([[0], W[:-1]])
+        nW = np.concatenate([W[1:], [W[-1]]])
+        winid = (lW * 4 + W * 2 + nW).astype(np.int32)
+        wins, win_off = _win_table(bs0, bs1)
+        out = np.zeros((ch, total_len + 8), np.float32)
+        decode_stream(self.tables, blob, off, bits,
+                      np.ascontiguousarray(starts - base),
+                      np.ascontiguousarray(winid), wins, win_off,
+                      out, W, CH=CH)
+        lo, hi = self._trim_range(centers, base,
+                                  np.asarray(gps, np.int64),
+                                  np.asarray(eoss, bool))
         return out[:, lo:hi]
 
 
@@ -353,7 +419,24 @@ def _decoder_for(header_pkts):
 def decode_ogg_fast(data: bytes, device: bool = False):
     """Whole-stream fast decode; returns (pcm, vi).  Raises
     FastDecodeUnsupported when the stream needs the scalar path.
-    device=True runs the IMDCT stage on the accelerator."""
+    device=True runs the IMDCT stage on the accelerator.
+
+    The default path is the FUSED native drain: vn_ogg_scan (page walk
+    -> packet arrays) + vn_decode_stream (parse/IMDCT/lap in one
+    chunked call); the staged decode_packets path backs the device
+    option and the no-native fallback."""
+    if not device:
+        from ..native import ogg_scan
+        sc = ogg_scan(data)
+        if sc is not None:
+            blob, off, lens, gp, eos, _serial = sc
+            if len(off) >= 3:
+                hdrs = tuple(
+                    blob[off[i]:off[i] + lens[i]].tobytes()
+                    for i in range(3))
+                dec = _decoder_for(hdrs)
+                return dec.decode_arrays(blob, off[3:], lens[3:],
+                                         gp[3:], eos[3:]), dec.vi
     from ..bitstream.oggfile import OggStreamReader
     rd = OggStreamReader(data)
     pkts = list(rd.packets())
@@ -364,12 +447,12 @@ def decode_ogg_fast(data: bytes, device: bool = False):
 def decode_ogg_fast_batch(streams, threads=None, device=False):
     """Decode MANY independent Ogg streams concurrently.
 
-    The serial per-stream work is dominated by native C calls (packet
-    parse, IMDCT, lap-add) that release the GIL, so a thread pool
-    scales the drain across host cores the way the reference would
-    need one process per file (libvorbis is single-threaded;
-    SURVEY.md §2 'Parallelism strategies').  Returns a list of
-    (pcm, vi) in input order."""
+    The per-stream work is two whole-stream native C calls
+    (vn_ogg_scan + vn_decode_stream) that release the GIL for their
+    entire duration, so a thread pool scales the drain across host
+    cores the way the reference would need one process per file
+    (libvorbis is single-threaded; SURVEY.md §2 'Parallelism
+    strategies').  Returns a list of (pcm, vi) in input order."""
     from concurrent.futures import ThreadPoolExecutor
     if threads is None:
         import os

@@ -991,14 +991,23 @@ class FastEncoder:
              np.full((B - len(a),) + np.shape(a)[1:], fill,
                      np.asarray(a).dtype)])
 
-    def _run_two_phase(self, x64, per, B_long, B_short):
+    def _run_two_phase(self, x64, per, B_long, B_short,
+                       managed=False):
         """The cross-frame-state encode: probe pass -> host scalar
         recurrences -> finish pass.  per: per-stream dicts from
         encode_batch (cs, Ws, impulse, li, si, lofs, sofs, starts,
         wid).  Returns ((blob, off, nbits) longs, (blob, off, nbits)
         shorts): packet i's bytes are blob[off[i]:off[i] +
         ((nbits[i]+7)>>3)] — same contract as the stateless gather
-        runner."""
+        runner.
+
+        managed=True keeps the SAME probe pass and host recurrences
+        (with set_m3p's managed noise_rate reduction) but finishes
+        through the 15-packetblob steps, returning the undrained
+        ((pend_long, B_long), (pend_short, B_short)) lists — each
+        entry (bi, pk_dev (B, 15, wb), nb_dev, lastm, m3v, fstate,
+        probe_outs) — for the reservoir/gather stage
+        (_encode_managed_switched)."""
         from ..ops import psydevice as PD
         ch = self.ch
         n2L = self.n // 2
@@ -1178,7 +1187,7 @@ class FastEncoder:
                 [a[k][r["si"]] for a, r in zip(anns, per)])
                 for k in ("bm", "lW_bm", "lW_no", "impadnum")}
             pr = PD.m3_param_seq(sub, self.vi.blocksizes[0] // 2,
-                                 toneatt1, True)
+                                 toneatt1, True, managed=managed)
             m3_fields["sw"] = pr["sw"]
             m3_fields["noise_rate"] = pr["noise_rate"]
             m3_fields["noise_center"] = pr["noise_center"]
@@ -1195,7 +1204,8 @@ class FastEncoder:
         def run_finish(W, outs, B, amp, lc, po, tr, prevrows, wids,
                        m3):
             devW = self._dev_for(W)
-            step = self._finish_step(W, B)
+            step = (self._managed_finish_step(W, B) if managed
+                    else self._finish_step(W, B))
             wb = devW.plan.wb
             pend = []
             for bi, o in enumerate(outs):
@@ -1229,9 +1239,17 @@ class FastEncoder:
                     wd.astype(np.float32)]))
                 pk, nb = step(o[0], o[1], o[2], o[3], o[4], lastm,
                               o[6], fstate, m3v)
+                if managed:
+                    # keep the 15-blob packets on device; the
+                    # reservoir/gather stage fetches 1/15th later
+                    nb.copy_to_host_async()
+                    pend.append((bi, pk, nb, lastm, m3v, fstate, o))
+                    continue
                 pk.copy_to_host_async()
                 nb.copy_to_host_async()
                 pend.append((bi, pk, nb, lastm, m3v, fstate))
+            if managed:
+                return pend
             # drain + oversized redo; host-compact each batch's rows
             # into the dense (blob, off) form downstream reads
             blobs, offs, nbs = [], [], []
@@ -1261,23 +1279,26 @@ class FastEncoder:
 
         prof["host_midpass"] = _time.perf_counter() - _t0
         _t0 = _time.perf_counter()
-        bl_l, of_l, nb_l = run_finish(1, pa_l, B_long, amp_l, lc_l,
-                                      po_l, tr_l, prev_l, wd_l, None)
+        res_l = run_finish(1, pa_l, B_long, amp_l, lc_l,
+                           po_l, tr_l, prev_l, wd_l, None)
         if nshort:
             # per-frame blocktype flag for shorts: padding (bm==1)
             # selects the alternate noise-bias curve
             pad_s = np.concatenate(
                 [a["bm"][r["si"]] for a, r in zip(anns, per)]) == 1
-            bl_s, of_s, nb_s = run_finish(
+            res_s = run_finish(
                 0, pa_s, B_short, amp_s, lc_s,
                 np.full(nshort * ch, -1.0, np.float32), pad_s, prev_s,
                 None, m3_fields if hsrate else None)
+        elif managed:
+            res_s = []
         else:
-            bl_s = np.zeros(0, np.uint8)
-            of_s = np.zeros(0, np.int64)
-            nb_s = np.zeros(0, np.int64)
+            res_s = (np.zeros(0, np.uint8), np.zeros(0, np.int64),
+                     np.zeros(0, np.int64))
         prof["finish"] = _time.perf_counter() - _t0
-        return (bl_l, of_l, nb_l), (bl_s, of_s, nb_s)
+        if managed:
+            return (res_l, B_long), (res_s, B_short)
+        return res_l, res_s
 
     def _run_gather_batches(self, W, x64d, starts, wids, B=1024):
         """Run the mode-W gather step over all frames (padded to B per
@@ -1357,11 +1378,58 @@ class FastEncoder:
         device-resident; lengths may differ.  Returns a list of Ogg
         byte strings (one per stream)."""
         sw = self.switching if switching is None else switching
+        if serialnos is None:
+            serialnos = [778 + i for i in range(len(pcms))]
+        x64, per = self._prepare_switched(pcms, sw)
+        nshort = sum(len(r["si"]) for r in per)
+        gl_st = [r["starts"][r["li"]] for r in per]
+        gl_wd = [r["wid"][r["li"]] for r in per]
+        gs_st = [r["starts"][r["si"]] for r in per]
+
+        # 4) the batched device pipelines, ALL streams together
+        if self.psy_state:
+            (bl_l, of_l, nb_l), (bl_s, of_s, nb_s) = \
+                self._run_two_phase(x64, per, B_long, B_short)
+        else:
+            bl_l, of_l, nb_l = self._run_gather_batches(
+                1, x64, np.concatenate(gl_st) if gl_st else
+                np.zeros(0, np.int64),
+                np.concatenate(gl_wd) if gl_wd else None, B=B_long)
+            if nshort:
+                bl_s, of_s, nb_s = self._run_gather_batches(
+                    0, x64, np.concatenate(gs_st), None, B=B_short)
+            else:
+                bl_s = np.zeros(0, np.uint8)
+                of_s = np.zeros(0, np.int64)
+                nb_s = np.zeros(0, np.int64)
+
+        # 5) per-stream Ogg paging
+        outs = []
+        for rec, serialno in zip(per, serialnos):
+            sizes = np.empty(len(rec["cs"]), np.int64)
+            rows = rec["rows"]
+            li, si = rec["li"], rec["si"]
+            sizes[li] = (nb_l[rows[li]] + 7) >> 3
+            if len(si):
+                sizes[si] = (nb_s[rows[si]] + 7) >> 3
+            ilk = np.zeros(len(rec["cs"]), np.int64)
+            ilk[li] = of_l[rows[li]]
+            if len(si):
+                ilk[si] = of_s[rows[si]]
+            outs.append(self._page_stream(rec, serialno, comments,
+                                          bl_l, bl_s, ilk, sizes))
+        return outs
+
+    def _prepare_switched(self, pcms, sw):
+        """encode_batch steps 1-3 (shared with the managed switched
+        pipeline): concatenated padded 64-row device layout, batched
+        envelope marks + exact stretch rescue, per-stream block
+        schedules.  Returns (x64, per) where each per-stream record
+        carries cs/Ws/li/si/starts/wid/impulse/rows and the global
+        long/short offsets."""
         ch = self.ch
         hop = self.n // 2
         n0 = self.vi.blocksizes[0]
-        if serialnos is None:
-            serialnos = [778 + i for i in range(len(pcms))]
         # 1) concatenated padded 64-sample-row layout (per-stream
         # front/tail pads keep gathers from ever crossing streams)
         minS = (self._ENV_STEPS + 1) * 64 if sw else 0
@@ -1421,7 +1489,6 @@ class FastEncoder:
 
         # 3) per-stream block schedule -> global frame lists
         per = []
-        gl_st, gl_wd, gs_st = [], [], []
         nlong = nshort = 0
         for (ns, brow, Si), mk in zip(metas, marks):
             cs, Ws, impulse = self._schedule(mk, ns)
@@ -1432,104 +1499,251 @@ class FastEncoder:
             wid = (lW * 2 + nW).astype(np.int64)
             li = np.where(Ws == 1)[0]
             si = np.where(Ws == 0)[0]
+            rows = np.zeros(len(cs), np.int64)   # global packet rows
+            rows[li] = nlong + np.arange(len(li))
+            rows[si] = nshort + np.arange(len(si))
             per.append(dict(cs=cs, Ws=Ws, li=li, si=si, ns=ns,
                             lofs=nlong, sofs=nshort, starts=starts,
-                            wid=wid, impulse=impulse))
-            gl_st.append(starts[li])
-            gl_wd.append(wid[li])
-            gs_st.append(starts[si])
+                            wid=wid, impulse=impulse, rows=rows))
             nlong += len(li)
             nshort += len(si)
+        return x64, per
 
-        # 4) the batched device pipelines, ALL streams together
-        if self.psy_state:
-            (bl_l, of_l, nb_l), (bl_s, of_s, nb_s) = \
-                self._run_two_phase(x64, per, B_long, B_short)
+    def _page_stream(self, rec, serialno, comments, bl_l, bl_s, ilk,
+                     sizes):
+        """Assemble one stream's Ogg from dense packet blobs: ilk =
+        per-packet byte offset into bl_l/bl_s (the native pager reads
+        pk + ilk[i]*width, so width=1 + byte offsets address the blobs
+        directly), sizes = final packet bytes."""
+        cs, Ws, ns = rec["cs"], rec["Ws"], rec["ns"]
+        hop = self.n // 2
+        w = OggStreamWriter(serialno)
+        h1, h2, h3 = self.enc.header_packets(comments)
+        w.packetin(h1, 0)
+        w.flush()
+        w.packetin(h2, 0)
+        w.packetin(h3, 0)
+        w.flush()
+        gps = cs - hop
+        gps[-1] = ns
+
+        from .. import native as VN
+        res = VN.ogg_pages(bl_l, bl_s, ilk,
+                           (Ws == 0).astype(np.uint8), sizes, gps,
+                           serialno, w.pageno)
+        if res is not None:
+            blob, w.pageno = res
+            w._pages.append(blob)
         else:
-            bl_l, of_l, nb_l = self._run_gather_batches(
-                1, x64, np.concatenate(gl_st) if gl_st else
-                np.zeros(0, np.int64),
-                np.concatenate(gl_wd) if gl_wd else None, B=B_long)
-            if nshort:
-                bl_s, of_s, nb_s = self._run_gather_batches(
-                    0, x64, np.concatenate(gs_st), None, B=B_short)
-            else:
-                bl_s = np.zeros(0, np.uint8)
-                of_s = np.zeros(0, np.int64)
-                nb_s = np.zeros(0, np.int64)
+            def rows_for(i, Ws=Ws, ilk=ilk, sizes=sizes):
+                bl = bl_l if Ws[i] == 1 else bl_s
+                return bl[ilk[i]:ilk[i] + sizes[i]].tobytes()
 
-        # 5) per-stream Ogg paging
-        outs = []
-        for rec, serialno in zip(per, serialnos):
-            cs, Ws, li, si = rec["cs"], rec["Ws"], rec["li"], rec["si"]
-            ns = rec["ns"]
-            npkt = len(cs)
-            w = OggStreamWriter(serialno)
-            h1, h2, h3 = self.enc.header_packets(comments)
-            w.packetin(h1, 0)
-            w.flush()
-            w.packetin(h2, 0)
-            w.packetin(h3, 0)
-            w.flush()
-            rows = np.zeros(npkt, np.int64)     # global packet rows
-            rows[li] = rec["lofs"] + np.arange(len(li))
-            rows[si] = rec["sofs"] + np.arange(len(si))
-            sizes = np.empty(npkt, np.int64)
-            sizes[li] = (nb_l[rows[li]] + 7) >> 3
-            if len(si):
-                sizes[si] = (nb_s[rows[si]] + 7) >> 3
-            # byte offsets into the dense blobs; the native pager
-            # reads pk + ilk[i]*width, so width=1 + byte offsets
-            # address the blobs directly
-            ilk = np.zeros(npkt, np.int64)
-            ilk[li] = of_l[rows[li]]
-            if len(si):
-                ilk[si] = of_s[rows[si]]
-            gps = cs - hop
-            gps[-1] = ns
-
-            from .. import native as VN
-            res = VN.ogg_pages(bl_l, bl_s, ilk,
-                               (Ws == 0).astype(np.uint8), sizes, gps,
-                               serialno, w.pageno)
-            if res is not None:
-                blob, w.pageno = res
-                w._pages.append(blob)
-            else:
-                def rows_for(i, Ws=Ws, ilk=ilk, sizes=sizes):
-                    bl = bl_l if Ws[i] == 1 else bl_s
-                    return bl[ilk[i]:ilk[i] + sizes[i]].tobytes()
-
-                self._write_audio_pages(w, rows_for, sizes, gps)
-            outs.append(w.pageout_all())
-        return outs
+            self._write_audio_pages(w, rows_for, sizes, gps)
+        return w.pageout_all()
 
     # -- managed (ABR/CBR) path --------------------------------------------
     def encode_managed(self, pcm, serialno=778, comments=None,
-                       chunk=256) -> bytes:
+                       chunk=256, switching=None) -> bytes:
         """Managed fast encode of one stream (see
         encode_managed_batch)."""
         return self.encode_managed_batch([pcm], [serialno], comments,
-                                         chunk=chunk)[0]
+                                         chunk=chunk,
+                                         switching=switching)[0]
+
+    def _managed_dev_for(self, W):
+        """DeviceManagedEncode per block mode (cached)."""
+        from ..ops.managed import DeviceManagedEncode
+        if W or self.W_main == 0:
+            if self._managed_dev is None:
+                self._managed_dev = DeviceManagedEncode(
+                    self, W=self.W_main)
+            return self._managed_dev
+        if getattr(self, "_managed_dev_short", None) is None:
+            self._managed_dev_short = DeviceManagedEncode(self, W=0)
+        return self._managed_dev_short
+
+    def _managed_finish_step(self, W, B, wb=None):
+        if not hasattr(self, "_mfinish_cache"):
+            self._mfinish_cache = {}
+        key = (W, B, wb)
+        if key not in self._mfinish_cache:
+            self._mfinish_cache[key] = jax.jit(
+                self._managed_dev_for(W).make_finish_step15(B, wb))
+        return self._mfinish_cache[key]
+
+    # frames budget per managed device wave: bounds live device memory
+    # (probe spectra + the 15-blob packet buffers stay resident until
+    # the wave's reservoir/gather drains them)
+    _MANAGED_GROUP_FRAMES = 24576
 
     def encode_managed_batch(self, pcms, serialnos=None, comments=None,
-                             chunk=256) -> list:
-        """Managed (ABR/CBR) fast encode of MANY independent streams:
-        every chunk of frames runs the 15-packetblob device pass in
-        ONE jit (blob axis folded into the frame batch), a per-stream
-        host reservoir floater (ops/managed.ReservoirChooser, an exact
-        port of lib/bitrate.c:73-227) picks each packet, and a device
-        gather fetches only the chosen blob's bytes — 1/15th of the
-        packet data crosses the host link.  All streams' chunks ride
-        the same compiled steps and every dispatch wave overlaps the
-        host choose/page work of the previous one.  Long-block framing
-        (the managed fast path does not yet block-switch; packets
-        remain valid aoTuV streams)."""
-        from ..ops.managed import DeviceManagedEncode, ReservoirChooser
+                             chunk=256, switching=None,
+                             B_long=256, B_short=256) -> list:
+        """Managed (ABR/CBR) fast encode of MANY independent streams.
+
+        With switching (the default when the template has two block
+        sizes): the exact envelope schedule drives 256/2048 block
+        selection, every frame runs the 15-packetblob stateful device
+        pass (blob axis folded into the frame batch,
+        ops/managed.make_finish_step15), the per-stream host reservoir
+        floater (ReservoirChooser, an exact port of
+        lib/bitrate.c:73-227, fed each packet's W) picks each packet,
+        and a device gather fetches only the chosen blob's bytes —
+        1/15th of the packet data crosses the host link.  Streams are
+        processed in groups of ~_MANAGED_GROUP_FRAMES frames so live
+        device memory stays bounded by the group, not the job.
+
+        switching=False (or a single-blocksize template) selects the
+        long-only framed pipeline."""
         assert self.managed, "construct FastEncoder(bitrate=...) first"
-        if self._managed_dev is None:
-            self._managed_dev = DeviceManagedEncode(self, W=self.W_main)
-        mdev = self._managed_dev
+        if serialnos is None:
+            serialnos = [778 + i for i in range(len(pcms))]
+        assert len(serialnos) >= len(pcms), \
+            f"{len(serialnos)} serialnos < {len(pcms)} streams"
+        sw = self.switching if switching is None else switching
+        if not sw:
+            return self._encode_managed_long(pcms, serialnos, comments,
+                                             chunk)
+        hop = self.n // 2
+        outs = []
+        i = 0
+        while i < len(pcms):
+            j, acc = i, 0
+            while j < len(pcms) and (
+                    j == i or acc + pcms[j].shape[1] // hop + 4
+                    <= self._MANAGED_GROUP_FRAMES):
+                acc += pcms[j].shape[1] // hop + 4
+                j += 1
+            outs += self._encode_managed_switched(
+                pcms[i:j], serialnos[i:j], comments, B_long, B_short)
+            i = j
+        return outs
+
+    def _encode_managed_switched(self, pcms, serialnos, comments,
+                                 B_long=256, B_short=256):
+        """One device wave of the switched managed pipeline (see
+        encode_managed_batch)."""
+        from ..ops.managed import ReservoirChooser
+        x64, per = self._prepare_switched(pcms, sw=True)
+        (pend_l, BL), (pend_s, BS) = self._run_two_phase(
+            x64, per, B_long, B_short, managed=True)
+        nlong = sum(len(r["li"]) for r in per)
+        nshort = sum(len(r["si"]) for r in per)
+
+        # drain the (F, 15) bit counts
+        def drain_nb(pend, total):
+            if not pend:
+                return np.zeros((0, 15), np.int64)
+            return np.concatenate(
+                [np.asarray(p[2]) for p in pend])[:total] \
+                .astype(np.int64)
+
+        nb_l = drain_nb(pend_l, nlong)
+        nb_s = drain_nb(pend_s, nshort)
+
+        # per-stream reservoir walk in frame order (mixing W groups;
+        # vorbis_bitrate_addblock scales bitsper by each packet's W,
+        # lib/bitrate.c:92-99)
+        cho_l = np.zeros(nlong, np.int64)
+        cho_s = np.zeros(nshort, np.int64)
+        tp_l = np.zeros((nlong, 2), np.int64)     # (truncate, pad)
+        tp_s = np.zeros((nshort, 2), np.int64)
+        for rec in per:
+            F = len(rec["Ws"])
+            li, si = rec["li"], rec["si"]
+            gl = rec["lofs"] + np.arange(len(li))
+            gs = rec["sofs"] + np.arange(len(si))
+            sizes = np.empty((F, 15), np.int64)
+            sizes[li] = (nb_l[gl] + 7) >> 3
+            if len(si):
+                sizes[si] = (nb_s[gs] + 7) >> 3
+            chooser = ReservoirChooser(self.setup, self.rate,
+                                       self.vi.blocksizes)
+            cf = np.empty(F, np.int64)
+            tf = np.empty((F, 2), np.int64)
+            Ws = rec["Ws"]
+            for f in range(F):
+                c, t, p = chooser.choose(sizes[f], int(Ws[f]))
+                cf[f] = c
+                tf[f] = (t, p)
+            cho_l[gl] = cf[li]
+            tp_l[gl] = tf[li]
+            if len(si):
+                cho_s[gs] = cf[si]
+                tp_s[gs] = tf[si]
+
+        # gather the chosen blob per batch, drain, apply truncate/pad
+        # while compacting into the dense (blob, off) pager form
+        def drain_sel(pend, B, W, choices, tps, nbW, total):
+            mdev = self._managed_dev_for(W)
+            gather = mdev.gather_step()
+            wb = mdev.dev.plan.wb
+            sel_pend = []
+            for bi, pk, nb, lastm, m3v, fstate, o in pend:
+                chb = self._pad_to(choices[bi * B:(bi + 1) * B], B)
+                nbb = nbW[bi * B:min((bi + 1) * B, total)]
+                sel_nb = nbb[np.arange(len(nbb)),
+                             chb[:len(nbb)]] if len(nbb) else \
+                    np.zeros(0, np.int64)
+                if (sel_nb > wb * 8).any():
+                    # oversized chosen packet: redo this batch at the
+                    # static worst-case budget
+                    big = self._managed_finish_step(
+                        W, B, mdev.dev.plan.worst_bytes)
+                    pk, _ = big(o[0], o[1], o[2], o[3], o[4], lastm,
+                                o[6], fstate, m3v)
+                sel = gather(pk, jnp.asarray(chb.astype(np.int32)))
+                sel.copy_to_host_async()
+                sel_pend.append(sel)
+            # compact with final sizes (truncate cuts the tail,
+            # zero-pad extends; bitrate.c:167-190)
+            chosen = (np.take_along_axis(
+                nbW, choices[:total, None], 1)[:, 0] + 7) >> 3 \
+                if total else np.zeros(0, np.int64)
+            keep = chosen - tps[:total, 0]
+            fin = keep + tps[:total, 1]
+            off = np.cumsum(fin) - fin
+            blob = np.zeros(int(off[-1] + fin[-1]) if total else 0,
+                            np.uint8)
+            for bi, sel in enumerate(sel_pend):
+                rows = np.asarray(sel)
+                for f in range(min(B, total - bi * B)):
+                    g = bi * B + f
+                    blob[off[g]:off[g] + keep[g]] = rows[f, :keep[g]]
+            return blob, off, fin
+
+        bl_l, of_l, sz_l = drain_sel(pend_l, BL, 1, cho_l, tp_l,
+                                     nb_l, nlong)
+        bl_s, of_s, sz_s = drain_sel(pend_s, BS, 0, cho_s, tp_s,
+                                     nb_s, nshort)
+
+        # per-stream Ogg paging (same dense-blob pager as encode_batch)
+        outs = []
+        for rec, serialno in zip(per, serialnos):
+            rows = rec["rows"]
+            li, si = rec["li"], rec["si"]
+            sizes = np.empty(len(rec["cs"]), np.int64)
+            sizes[li] = sz_l[rows[li]]
+            if len(si):
+                sizes[si] = sz_s[rows[si]]
+            ilk = np.zeros(len(rec["cs"]), np.int64)
+            ilk[li] = of_l[rows[li]]
+            if len(si):
+                ilk[si] = of_s[rows[si]]
+            outs.append(self._page_stream(rec, serialno, comments,
+                                          bl_l, bl_s, ilk, sizes))
+        return outs
+
+    def _encode_managed_long(self, pcms, serialnos, comments,
+                             chunk=256) -> list:
+        """Long-only managed pipeline (switching=False and the
+        single-blocksize templates): every chunk of frames runs the
+        15-packetblob device pass in ONE jit, the host reservoir picks
+        each packet, a device gather fetches only the chosen blob's
+        bytes."""
+        from ..ops.managed import DeviceManagedEncode, ReservoirChooser
+        mdev = self._managed_dev_for(self.W_main)
         if serialnos is None:
             serialnos = [778 + i for i in range(len(pcms))]
         n, hop = self.n, self.n // 2

@@ -24,12 +24,15 @@ def _load():
     global lib
     if lib is not None:
         return lib
-    if not os.path.exists(_SO):
-        script = os.path.join(_HERE, "..", "native", "build.sh")
-        try:
-            subprocess.run(["sh", script], check=True,
-                           capture_output=True, text=True)
-        except Exception:
+    # run the (mtime-gated, idempotent) build unconditionally: a stale
+    # .so from an older source would otherwise load but lack newer
+    # symbols, turning the graceful numpy fallback into AttributeError
+    script = os.path.join(_HERE, "..", "native", "build.sh")
+    try:
+        subprocess.run(["sh", script], check=True,
+                       capture_output=True, text=True)
+    except Exception:
+        if not os.path.exists(_SO):
             return None
     try:
         L = C.CDLL(_SO)
@@ -165,18 +168,26 @@ class HuffDecoder:
         return out[:got], int(p.value), int(got)
 
 
-def imdct_batch(spec: np.ndarray, n: int):
-    """Native bit-exact batched IMDCT (vn_imdct_batch): (B, n//2)
-    float32 -> (B, n).  Returns None when the library is unavailable —
-    caller falls back to ops.mdct.imdct (identical output)."""
-    L = _load()
-    if L is None:
-        return None
+class _ImTab(C.Structure):
+    """Mirrors native vn_imtab (int32 n, nstages, then 14 pointers)."""
+    _fields_ = [("n", C.c_int32), ("nstages", C.c_int32),
+                ("T", C.c_void_p), ("sa", C.c_void_p),
+                ("sb", C.c_void_p), ("ia", C.c_void_p),
+                ("ib", C.c_void_p), ("ta", C.c_void_p),
+                ("tb", C.c_void_p), ("stageP", C.c_void_p),
+                ("tc_all", C.c_void_p), ("e0", C.c_void_p),
+                ("e1", C.c_void_p), ("tC", C.c_void_p),
+                ("tD", C.c_void_p), ("stage_off", C.c_void_p)]
+
+
+def _imdct_pack(L, n):
+    """Marshaled IMDCT index tables for blocksize n (cached on L; the
+    pack dict pins the arrays and carries a ready vn_imtab struct)."""
     from .ops.mdct import _imdct_index_tables
-    tbl = _imdct_index_tables(n)
     key = f"_imdct_pack_{n}"
     pack = getattr(L, key, None)
     if pack is None:
+        tbl = _imdct_index_tables(n)
         stageP = np.asarray([p for p, _ in tbl["stages"]], np.int32)
         offs, tcs = [], []
         acc = 0
@@ -200,7 +211,33 @@ def imdct_batch(spec: np.ndarray, n: int):
             e1=np.ascontiguousarray(tbl["e1"], np.int32),
             tC=np.ascontiguousarray(tbl["tC"], np.int32),
             tD=np.ascontiguousarray(tbl["tD"], np.int32))
+        t = _ImTab()
+        t.n = n
+        t.nstages = len(pack["stageP"])
+        for f in ("T", "sa", "sb", "ia", "ib", "ta", "tb", "stageP",
+                  "tc_all", "e0", "e1", "tC", "tD", "stage_off"):
+            setattr(t, f, pack[f].ctypes.data)
+        pack["tab"] = t
         setattr(L, key, pack)
+    return pack
+
+
+def imdct_tab(n):
+    """ctypes vn_imtab for blocksize n (or None without the lib)."""
+    L = _load()
+    if L is None:
+        return None
+    return _imdct_pack(L, n)["tab"]
+
+
+def imdct_batch(spec: np.ndarray, n: int):
+    """Native bit-exact batched IMDCT (vn_imdct_batch): (B, n//2)
+    float32 -> (B, n).  Returns None when the library is unavailable —
+    caller falls back to ops.mdct.imdct (identical output)."""
+    L = _load()
+    if L is None:
+        return None
+    pack = _imdct_pack(L, n)
     spec = np.ascontiguousarray(spec, np.float32)
     B = spec.shape[0]
     out = np.empty((B, n), np.float32)
@@ -273,6 +310,45 @@ def ogg_pages(pk_l, pk_s, ilk, isshort, sizes, gps, serialno, pageno,
                        C.c_int(per_page),
                        C.c_int(1 if eos_last else 0), out, pgio)
     return out[:n].tobytes(), int(pgio[0])
+
+
+def ogg_scan(data: bytes, serialno=None):
+    """Native Ogg page walk -> packet arrays in ONE call
+    (vn_ogg_scan; replaces the Python OggStreamReader on the decode
+    hot path).  Returns (blob uint8, off, lens, gp, eos, serial) —
+    packet i is blob[off[i]:off[i]+lens[i]], gp -1 where the page
+    granulepos doesn't land on it — or None without the library."""
+    L = _load()
+    if L is None:
+        return None
+    arr = np.frombuffer(data, np.uint8)
+    n = len(arr)
+    blob = np.empty(n + 8, np.uint8)
+    maxpkt = n // 16 + 64
+
+    def ptr(a):
+        return C.c_void_p(a.ctypes.data)
+
+    if not getattr(L, "_ogg_scan_sig", False):
+        L.vn_ogg_scan.restype = C.c_long
+        L.vn_ogg_scan.argtypes = None
+        L._ogg_scan_sig = True
+    while True:
+        off = np.empty(maxpkt, np.int64)
+        lens = np.empty(maxpkt, np.int64)
+        gp = np.empty(maxpkt, np.int64)
+        eos = np.empty(maxpkt, np.uint8)
+        ser = np.asarray(
+            [-1 if serialno is None else int(serialno)], np.int64)
+        got = L.vn_ogg_scan(ptr(arr), C.c_long(n), ptr(ser), ptr(blob),
+                            ptr(off), ptr(lens), ptr(gp), ptr(eos),
+                            C.c_long(maxpkt))
+        if got >= 0:
+            return (blob, off[:got], lens[:got], gp[:got], eos[:got],
+                    int(ser[0]))
+        maxpkt *= 4
+        if maxpkt > 4 * n + 1024:
+            raise RuntimeError("ogg_scan packet overflow")
 
 
 def pack_bits_multi(values: np.ndarray, nbits: np.ndarray):

@@ -1652,17 +1652,27 @@ class DeviceFastEncode:
             ab = jnp.abs(flat)
             upt = ab[:, sn:2 * sn].sum(-1)
             unt = ab[:, 2 * sn:sn + (n >> 1)].sum(-1)
-            # lastmdct contribution row
+            # lastmdct contribution row.  The reference resamples with
+            # a FIXED mag=8 (psy.c:4462-4501) because the machinery is
+            # gated to hsrate templates whose block ratio IS 8
+            # (256/2048); low-rate templates (e.g. 512/1024 at 16 kHz)
+            # never consume lastmdct, so their rows pass through as
+            # identity.
             lm = jnp.repeat(lmode, ch)
-            if n2 * 8 == n2L:          # short mode: identity | repeat
+            if not self.W and n2 * 8 == n2L:
+                # short mode, ratio 8: identity | repeat x8
                 ident = jnp.pad(logmdct, ((0, 0), (0, n2L - n2)))
                 rep = jnp.repeat(logmdct, 8, axis=-1)
                 L = jnp.where((lm == 1)[:, None], rep, ident)
-            else:                       # long mode: identity | minpool
+            elif self.W and n2 == n2L and n2 % 8 == 0:
+                # long mode: identity | min-pool /8
                 n8 = n2 // 8
                 minp = logmdct.reshape(-1, n8, 8).min(-1)
                 minp = jnp.pad(minp, ((0, 0), (0, n2L - n8)))
                 L = jnp.where((lm == 2)[:, None], minp, logmdct)
+            else:
+                # non-hsrate ratios: rows are never read back
+                L = jnp.pad(logmdct, ((0, 0), (0, n2L - n2)))
             return md, logmdct, logfft, fit1, dB, L, lam, hi_th, \
                 upt, unt
 

@@ -43,6 +43,34 @@ def _interp_posts(pA, pB, uA, uB, delta):
     return jnp.where(flag, out | 0x8000, out), uA & uB
 
 
+def _blob_ladder(ps, us):
+    """The 15-way post ladder from the three offset_select fits
+    (floor1_interpolate_fit; endpoints gated on the middle fit like
+    the reference blob loop, mapping0.c:1204-1313)."""
+    lad, ul = [], []
+    for k in range(PACKETBLOBS):
+        if k == 7:
+            lad.append(ps[1])
+            ul.append(us[1])
+        elif k == 0:
+            lad.append(ps[0])
+            ul.append(us[0] & us[1])
+        elif k == PACKETBLOBS - 1:
+            lad.append(ps[2])
+            ul.append(us[2] & us[1])
+        elif k < 7:
+            p, u = _interp_posts(ps[0], ps[1], us[0], us[1],
+                                 k * 65536 // 7)
+            lad.append(p)
+            ul.append(u)
+        else:
+            p, u = _interp_posts(ps[1], ps[2], us[1], us[2],
+                                 (k - 7) * 65536 // 7)
+            lad.append(p)
+            ul.append(u)
+    return lad, ul
+
+
 class DeviceManagedEncode:
     """One-jit managed encode step: frames -> 15 packed packet
     variants per frame + their bit counts."""
@@ -50,20 +78,28 @@ class DeviceManagedEncode:
     def __init__(self, fe, W=1):
         from ..models.fastenc import _couple_params
         self.fe = fe
-        self.dev = DeviceFastEncode(fe, W=W)
+        # share the encoder's per-W DeviceFastEncode (same plans and
+        # compiled caches the unmanaged pipeline uses)
+        self.dev = fe._dev_for(W) if hasattr(fe, "_dev_for") \
+            else DeviceFastEncode(fe, W=W)
         self.W = W
         ctx = self.dev.ctx
         self.ctx = ctx
         n2 = ctx.n // 2
         self.n2 = n2
         g = fe.setup.psy_global
+        # psy blocktype for this block mode: impulse (0) for the short
+        # pipeline of a switching encoder, the encoder's main
+        # blocktype otherwise
+        bt = fe.blocktype if W == fe.W_main else 0
+        self.blocktype = bt
         # per-blob coupling thresholds (res2 streams)
         if self.dev.res_type == 2:
             thr1 = np.zeros((PACKETBLOBS, n2), np.float32)
             threv = np.zeros((PACKETBLOBS, n2), np.float32)
             limit = np.zeros(PACKETBLOBS, np.int64)
             for k in range(PACKETBLOBS):
-                cp = _couple_params(fe.setup, fe.blocktype, W, n2,
+                cp = _couple_params(fe.setup, bt, W, n2,
                                     blob=k)
                 thr1[k] = cp["thr1"]
                 threv[k] = cp["threv"]
@@ -104,27 +140,7 @@ class DeviceManagedEncode:
             # 15-way ladder (floor1_interpolate_fit; endpoints gated
             # on the middle fit like the reference blob loop)
             P = ps[0].shape[-1]
-            lad, ul = [], []
-            for k in range(NB):
-                if k == 7:
-                    lad.append(ps[1])
-                    ul.append(us[1])
-                elif k == 0:
-                    lad.append(ps[0])
-                    ul.append(us[0] & us[1])
-                elif k == NB - 1:
-                    lad.append(ps[2])
-                    ul.append(us[2] & us[1])
-                elif k < 7:
-                    p, u = _interp_posts(ps[0], ps[1], us[0], us[1],
-                                         k * 65536 // 7)
-                    lad.append(p)
-                    ul.append(u)
-                else:
-                    p, u = _interp_posts(ps[1], ps[2], us[1], us[2],
-                                         (k - 7) * 65536 // 7)
-                    lad.append(p)
-                    ul.append(u)
+            lad, ul = _blob_ladder(ps, us)
             p15 = jnp.stack(lad, 1)                 # (F*ch, 15, P)
             u15 = jnp.stack(ul, 1)                  # (F*ch, 15)
             # fold blob into the frame batch: rows (F, blob, ch)
@@ -223,27 +239,7 @@ class DeviceManagedEncode:
                 ps.append(p)
                 us.append(u)
             P = ps[0].shape[-1]
-            lad, ul = [], []
-            for k in range(NB):
-                if k == 7:
-                    lad.append(ps[1])
-                    ul.append(us[1])
-                elif k == 0:
-                    lad.append(ps[0])
-                    ul.append(us[0] & us[1])
-                elif k == NB - 1:
-                    lad.append(ps[2])
-                    ul.append(us[2] & us[1])
-                elif k < 7:
-                    p, u = _interp_posts(ps[0], ps[1], us[0], us[1],
-                                         k * 65536 // 7)
-                    lad.append(p)
-                    ul.append(u)
-                else:
-                    p, u = _interp_posts(ps[1], ps[2], us[1], us[2],
-                                         (k - 7) * 65536 // 7)
-                    lad.append(p)
-                    ul.append(u)
+            lad, ul = _blob_ladder(ps, us)
             p15 = jnp.stack(lad, 1).reshape(F, ch, NB, P) \
                 .transpose(0, 2, 1, 3).reshape(F * NB * ch, P)
             u15 = jnp.stack(ul, 1).reshape(F, ch, NB) \
@@ -277,6 +273,140 @@ class DeviceManagedEncode:
             return pk.reshape(F, NB, -1), nb.reshape(F, NB)
 
         return step
+
+    def make_finish_step15(self, F, wb=None):
+        """Stateful 15-blob finish for the SWITCHED managed pipeline.
+
+        Same per-frame state contract as the unmanaged
+        DeviceFastEncode.make_finish_step (fstate packs ampmax /
+        lowcomp / poste / trans / wid; m3vec carries the short-mode M3
+        fields), but every frame emits all 15 packetblob variants:
+        the three offset_select val/tval curves each run the full
+        M-module machinery (M5 low_compand, M3 echo control on short
+        blocks — the reference runs _vp_offset_and_mix once per
+        select, psy.c:4274-4502 via mapping0.c:1090-1181), select 1's
+        M1 pass rescales the mdct every blob consumes, then the floor
+        fit ladder and per-blob coupling thresholds / sliding lowpass
+        finish as in make_finish_step."""
+        from . import psydevice as PD
+        dev = self.dev
+        ctx = self.ctx
+        da = ctx.analysis
+        look = da.look
+        wb = wb or dev.plan.wb
+        ch = dev.ch
+        n2 = self.n2
+        NB = PACKETBLOBS
+
+        def step(md, logmdct, logfft, fit1, dB, lastmdct, lam,
+                 fstate, m3vec):
+            o = 0
+            ampmax = fstate[o:o + F]
+            o += F
+            lowcomp = fstate[o:o + F * ch]
+            o += F * ch
+            poste = fstate[o:o + F * ch]
+            o += F * ch
+            trans = fstate[o:o + F] > f32(0.5)
+            o += F
+            wid = fstate[o:o + F].astype(jnp.int32)
+            m3 = None
+            if m3vec is not None:
+                m3 = dict(sw=m3vec[0] > f32(0.5), noise_rate=m3vec[1],
+                          noise_center=m3vec[2], tone_rate=m3vec[3],
+                          reset=m3vec[4] > f32(0.5),
+                          impad_zero=m3vec[5] > f32(0.5))
+            kind = "long" if self.W else "short"
+            logmask, epeak, npeak = PD.noisemask_tail(
+                look, logmdct, fit1, dB, lowcomp, poste, lastmdct,
+                kind,
+                trans_active=jnp.repeat(trans, ch) if self.W
+                else None)
+            amp_rows = jnp.repeat(ampmax, ch)
+            tone = da.tonemask(logfft, amp_rows, lam)
+            alt = jnp.repeat(trans, ch)[:, None]
+
+            def val_tval(sel):
+                noff = jnp.where(alt, da.noiseoffsets_alt[sel],
+                                 da.noiseoffsets[sel])
+                val = jnp.minimum(logmask + noff, da.noisemaxsupp)
+                tval = tone + da.toneatts[sel]
+                tval = PD.lowcompand_tval(look, tval, lowcomp, sel)
+                if not self.W and m3 is not None:
+                    shp = (F, ch, n2)
+                    temps = PD.m3_tempmdct_scan(
+                        look, logmdct[:, :n2].reshape(shp),
+                        lastmdct.reshape(F, ch, -1),
+                        val.reshape(shp), tval.reshape(shp), m3)
+                    v2, t2, npk2 = PD.m3_apply(
+                        look, val.reshape(shp), tval.reshape(shp),
+                        logmdct[:, :n2].reshape(shp),
+                        lastmdct.reshape(F, ch, -1), temps,
+                        npeak.reshape((F, ch, -1)), m3,
+                        m3["impad_zero"])
+                    return (v2.reshape(F * ch, n2),
+                            t2.reshape(F * ch, n2),
+                            npk2.reshape(F * ch, -1))
+                return val, tval, npeak
+
+            # select order mirrors the reference: 1 first (M1 rescale
+            # feeds every blob), then 2, 0; masks are md-independent
+            v1, t1, npk1 = val_tval(1)
+            md1, m1 = da.mix_m4_m1(md, logmdct, v1, t1, 1)
+            v2, t2, _ = val_tval(2)
+            _, m2 = da.mix_m4_m1(md1, logmdct, v2, t2, 2)
+            v0, t0, _ = val_tval(0)
+            _, m0 = da.mix_m4_m1(md1, logmdct, v0, t0, 0)
+            masks3 = jnp.stack([m0, m1, m2], axis=-2)
+            ps, us = [], []
+            for k in range(3):
+                p, u = ctx.floor(logmdct, masks3[:, k])
+                ps.append(p)
+                us.append(u)
+            P = ps[0].shape[-1]
+            lad, ul = _blob_ladder(ps, us)
+            p15 = jnp.stack(lad, 1).reshape(F, ch, NB, P) \
+                .transpose(0, 2, 1, 3).reshape(F * NB * ch, P)
+            u15 = jnp.stack(ul, 1).reshape(F, ch, NB) \
+                .transpose(0, 2, 1).reshape(F * NB * ch)
+
+            def bcast(x):
+                return jnp.broadcast_to(
+                    x.reshape(F, 1, ch, x.shape[-1]),
+                    (F, NB, ch, x.shape[-1])) \
+                    .reshape(F * NB * ch, x.shape[-1])
+
+            mdr = bcast(md1)
+            epk = bcast(epeak)
+            npk = bcast(npk1)
+            lowpass = jnp.broadcast_to(
+                jnp.asarray(self.lowpass_15)[None, :, None],
+                (F, NB, ch)).reshape(F * NB * ch)
+            kw = dict(lowpass=lowpass, epeak=epk, npeak=npk)
+            if dev.res_type == 2:
+                kw["thr1"] = jnp.broadcast_to(
+                    jnp.asarray(self.thr1_15)[None], (F, NB, n2)) \
+                    .reshape(F * NB, n2)
+                kw["threv"] = jnp.broadcast_to(
+                    jnp.asarray(self.threv_15)[None], (F, NB, n2)) \
+                    .reshape(F * NB, n2)
+                kw["inlimit"] = jnp.broadcast_to(
+                    jnp.asarray(self.inlimit_15)[None], (F, NB, n2)) \
+                    .reshape(F * NB, n2)
+            if self.W:
+                kw["wid"] = jnp.repeat(wid, NB * ch)
+            pk, nb = dev.finish_from_posts(mdr, p15, u15, F * NB, wb,
+                                           **kw)
+            return pk.reshape(F, NB, -1), nb.reshape(F, NB)
+
+        return step
+
+    def get_finish_step15(self, F, wb=None):
+        key = ("finish15", F, wb or self.dev.plan.wb)
+        if key not in self._step_cache:
+            self._step_cache[key] = jax.jit(
+                self.make_finish_step15(F, wb))
+        return self._step_cache[key]
 
     def get_probe_step(self, F):
         key = ("probe", F)
