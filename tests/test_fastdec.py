@@ -163,3 +163,28 @@ def test_fastdec_batch_api(tmp_path):
     got = decode_ogg_fast_batch(streams, threads=3)
     for w, (g, _) in zip(want, got):
         assert np.array_equal(w, g)
+
+
+def test_fastdec_batch_device_multi_stream(tmp_path):
+    """decode_ogg_fast_batch(device=True) routes ALL streams' packets
+    through one accelerator IMDCT dispatch wave.  Bit-exact with the
+    host drain on TPU; XLA:CPU (this suite's backend) contracts the
+    butterfly twiddles into FMAs, so there the contract is a tight
+    ulp bound (same as the single-stream device test)."""
+    import jax
+
+    from vorbis_tpu.models.fastdec import decode_ogg_fast_batch
+    streams = []
+    for i in range(3):
+        pcm = oracle.make_test_signal(seconds=0.4, seed=i)
+        streams.append(oracle.encode_vbr(
+            pcm, 44100, 0.4, str(tmp_path / f"d{i}.ogg")))
+    want = [decode_ogg_fast(s)[0] for s in streams]
+    got = decode_ogg_fast_batch(streams, device=True)
+    assert len(got) == len(want)
+    for (g, _), w in zip(got, want):
+        assert g.shape == w.shape
+        if jax.devices()[0].platform == "cpu":
+            assert np.abs(g - w).max() < 5e-7, np.abs(g - w).max()
+        else:
+            assert np.array_equal(g, w)

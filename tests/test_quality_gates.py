@@ -1,0 +1,272 @@
+"""Round-4 quality gates (VERDICT r3 weak #4): corpus gates at more
+quality rungs and rates, a relative 5.1 gate, managed-mode quality and
+rate vs the golden ABR encoder, the masked-error-vs-exact-psy-mask
+proxy, and sanity checks that the gate metrics themselves move when
+known regressions are injected."""
+
+import numpy as np
+import pytest
+
+from tests import oracle
+from vorbis_tpu.codec.encoder import encode_vbr_stream
+from vorbis_tpu.models.fastenc import FastEncoder
+
+f32 = np.float32
+
+
+def _seg_snr(ref, out, seg=2048):
+    m = min(ref.shape[1], out.shape[1])
+    snrs = []
+    for o in range(0, m - seg, seg):
+        r = ref[:, o:o + seg]
+        e = out[:, o:o + seg] - r
+        pr = (r ** 2).mean()
+        if pr > 1e-9:
+            snrs.append(10 * np.log10(pr / max((e ** 2).mean(), 1e-12)))
+    return float(np.mean(snrs))
+
+
+def _decode(tmp_path, name, data):
+    p = str(tmp_path / name)
+    with open(p, "wb") as fh:
+        fh.write(data)
+    out, _ = oracle.decode_float(p)
+    return out
+
+
+def _quiet_after_loud(rate):
+    t = np.arange(rate) / rate
+    x = np.concatenate([
+        0.8 * np.sin(2 * np.pi * 600 * t[:rate // 2]),
+        0.02 * np.sin(2 * np.pi * 900 * t[:rate // 2])])
+    return np.stack([x, x]).astype(np.float32)
+
+
+def _gate(tmp_path, fe, pcm, rate, q, tag, rms_ratio=1.2,
+          snr_db=2.0, size_lo=0.65, size_hi=1.2):
+    """The joint corpus gate: fast-path RMS error <= rms_ratio x the
+    golden encoder's, segmental SNR within snr_db, stream size inside
+    the window (so smaller streams cannot buy their size with
+    quality).  Returns the measured (rms_ratio, snr_delta)."""
+    f = fe.encode(pcm)
+    g = encode_vbr_stream(pcm, rate, q)
+    df = _decode(tmp_path, "f.ogg", f)
+    dg = _decode(tmp_path, "g.ogg", g)
+    m = min(df.shape[1], dg.shape[1], pcm.shape[1])
+    ef = np.sqrt(np.mean((df[:, :m] - pcm[:, :m]) ** 2))
+    eg = np.sqrt(np.mean((dg[:, :m] - pcm[:, :m]) ** 2))
+    assert ef < rms_ratio * eg, (tag, ef, eg)
+    sf = _seg_snr(pcm, df)
+    sg = _seg_snr(pcm, dg)
+    assert sf > sg - snr_db, (tag, sf, sg)
+    ratio = len(f) / len(g)
+    assert size_lo <= ratio <= size_hi, (tag, len(f), len(g))
+    return ef / eg, sf - sg
+
+
+@pytest.mark.parametrize("q,rate,rms_ratio", [
+    (0.1, 44100, 1.2),   # low rung: coarser books (measured 1.08/1.16)
+    (0.8, 44100, 1.1),   # high rung: lossless stereo (measured ~1.0)
+    (0.5, 16000, 1.1),   # 512/1024 blocks, hsrate psy off (~0.3-0.8)
+    (0.5, 32000, 1.3),   # lowest hsrate (measured 1.24 on mix — the
+                         # one open tuning gap; bound holds the line)
+])
+def test_corpus_gate_rungs_and_rates(tmp_path, q, rate, rms_ratio):
+    """VERDICT r3 weak #4: the corpus gate now covers low/high quality
+    rungs and 16/32 kHz, not just q0.5 at 44.1 kHz.  Bounds are set
+    just above the measured baselines so a regression trips them."""
+    fe = FastEncoder(2, rate, q)
+    _gate(tmp_path, fe, oracle.make_test_signal(rate=rate, kind="mix"),
+          rate, q, f"mix q{q}@{rate}", rms_ratio=rms_ratio)
+    _gate(tmp_path, fe, _quiet_after_loud(rate), rate, q,
+          f"qal q{q}@{rate}", rms_ratio=rms_ratio)
+
+
+def test_51_gate_relative_to_golden(tmp_path):
+    """5.1 quality measured RELATIVE to the golden encoder (the old
+    absolute-RMS gate could miss a regression that the golden path
+    does not share)."""
+    rate = 48000
+    pcm = oracle.make_test_signal(rate=rate, seconds=0.6, ch=6)
+    fe = FastEncoder(6, rate, 0.4)
+    f = fe.encode(pcm)
+    g = encode_vbr_stream(pcm, rate, 0.4)
+    df = _decode(tmp_path, "f6.ogg", f)
+    dg = _decode(tmp_path, "g6.ogg", g)
+    m = min(df.shape[1], dg.shape[1], pcm.shape[1])
+    ef = np.sqrt(np.mean((df[:, :m] - pcm[:, :m]) ** 2))
+    eg = np.sqrt(np.mean((dg[:, :m] - pcm[:, :m]) ** 2))
+    assert ef < 1.3 * eg, (ef, eg)
+    assert 0.65 <= len(f) / len(g) <= 1.25, (len(f), len(g))
+
+
+def test_managed_rate_window_and_quality(tmp_path):
+    """Managed ABR on >=10 s of audio: byte rate within +-10% of the
+    128 kbps nominal (VERDICT r3 weak #4 tightening) and error within
+    1.25x the golden ABR encoder on the same input."""
+    rate = 44100
+    pcm = oracle.make_test_signal(rate=rate, seconds=10.0, kind="mix")
+    fe = FastEncoder(2, rate, bitrate=(-1, 128000, -1))
+    f = fe.encode_managed(pcm)
+    dur = pcm.shape[1] / rate
+    # exclude the ~4 kB header pages from the rate measurement
+    hdr = sum(len(p) for p in fe.enc.header_packets()) + 3 * 28
+    kbps = (len(f) - hdr) * 8 / dur / 1000
+    assert 128 * 0.9 <= kbps <= 128 * 1.1, kbps
+
+    from tests.test_fastenc import _golden_managed
+    g = _golden_managed(pcm, rate, -1, 128000, -1)
+    df = _decode(tmp_path, "fm.ogg", f)
+    dg = _decode(tmp_path, "gm.ogg", g)
+    m = min(df.shape[1], dg.shape[1], pcm.shape[1])
+    ef = np.sqrt(np.mean((df[:, :m] - pcm[:, :m]) ** 2))
+    eg = np.sqrt(np.mean((dg[:, :m] - pcm[:, :m]) ** 2))
+    assert ef < 1.25 * eg, (ef, eg)
+
+
+# ---------------------------------------------------------------------------
+# masked-error proxy: quantization noise vs the EXACT psy mask
+# ---------------------------------------------------------------------------
+
+def _capture_masks(pcm, rate, q):
+    """Run the golden encoder with a hook on the exact scalar
+    _vp_offset_and_mix, capturing every frame's select-1 mask and
+    blocksize in blockout order.  Returns (golden_ogg, frames) where
+    frames = [(n2, [mask_ch0, mask_ch1])]."""
+    import vorbis_tpu.codec.encoder as E
+    from vorbis_tpu.ops import psy as P
+    caps = []
+    real = P.offset_and_mix
+
+    def hook(p, noise, tone, select, managed, mdct, logmdct, *a, **k):
+        r = real(p, noise, tone, select, managed, mdct, logmdct,
+                 *a, **k)
+        if select == 1:
+            caps.append((len(logmdct), np.array(r, np.float32)))
+        return r
+
+    old = E.PSY.offset_and_mix
+    E.PSY.offset_and_mix = hook
+    try:
+        g = encode_vbr_stream(pcm, rate, q)
+    finally:
+        E.PSY.offset_and_mix = old
+    ch = pcm.shape[0]
+    frames = [(caps[i][0], [caps[i + c][1] for c in range(ch)])
+              for i in range(0, len(caps) - ch + 1, ch)]
+    return g, frames
+
+
+def _masked_excess(err, frames, bs0, bs1):
+    """Mean dB by which the error spectrum exceeds the exact psy mask,
+    per frame on the encoder's own block grid (centers reconstructed
+    from the captured blocksize sequence)."""
+    from vorbis_tpu.ops.mdct import mdct_forward
+    from vorbis_tpu.ops.window import hybrid_window
+    from vorbis_tpu.utils.scales import todB
+    ns = [2 * n2 for n2, _ in frames]
+    centers = []
+    c = 0
+    for k in range(len(ns)):
+        if k:
+            c += ns[k - 1] // 4 + ns[k] // 4
+        centers.append(c)
+    Ws = [1 if n == bs1 else 0 for n in ns]
+    tot = []
+    m = err.shape[1]
+    for k, (n2, masks) in enumerate(frames):
+        n = 2 * n2
+        lo = centers[k] - n // 2
+        if lo < 0 or lo + n > m:
+            continue                      # edge frames (pads)
+        lW = Ws[k - 1] if k else Ws[k]
+        nW = Ws[k + 1] if k + 1 < len(Ws) else Ws[k]
+        win = hybrid_window(bs0, bs1, lW, Ws[k], nW)
+        for c_i, mask in enumerate(masks):
+            seg = err[c_i, lo:lo + n].astype(np.float32) * win
+            md = np.asarray(mdct_forward(seg[None], n))[0]
+            errdB = (todB(md.astype(np.float32)) + f32(0.345)) \
+                .astype(np.float32)
+            tot.append(np.maximum(errdB - mask, 0.0).mean())
+    return float(np.mean(tot))
+
+
+def test_masked_error_vs_exact_psy_mask(tmp_path):
+    """The masked-error proxy (VERDICT r2 item 5 / r3 weak #4): the
+    fast path's quantization noise, measured against the EXACT scalar
+    psy mask on the golden encoder's own block grid, must not exceed
+    the golden encoder's own masked error by more than 1 dB."""
+    rate = 44100
+    t = np.arange(rate) / rate
+    rng = np.random.RandomState(4)
+    x = (0.4 * np.sin(2 * np.pi * 440 * t)
+         + 0.2 * np.sin(2 * np.pi * 2093 * t)
+         + 0.01 * rng.randn(rate))
+    pcm = np.stack([x, 0.9 * x]).astype(np.float32)
+    g, frames = _capture_masks(pcm, rate, 0.5)
+    assert len(frames) > 10
+    fe = FastEncoder(2, rate, 0.5)
+    f = fe.encode(pcm)
+    df = _decode(tmp_path, "f.ogg", f)
+    dg = _decode(tmp_path, "g.ogg", g)
+    m = min(df.shape[1], dg.shape[1], pcm.shape[1])
+    bs0, bs1 = fe.vi.blocksizes
+    exc_f = _masked_excess(df[:, :m] - pcm[:, :m], frames, bs0, bs1)
+    exc_g = _masked_excess(dg[:, :m] - pcm[:, :m], frames, bs0, bs1)
+    assert np.isfinite(exc_f) and np.isfinite(exc_g)
+    assert exc_f <= exc_g + 1.0, (exc_f, exc_g)
+
+
+# ---------------------------------------------------------------------------
+# gate sanity: the metrics must MOVE when known regressions are injected
+# ---------------------------------------------------------------------------
+
+def test_gates_catch_psy_state_regression(tmp_path):
+    """Disabling the cross-frame psy state (ampmax decay, M9/M3/M5/M2)
+    must measurably worsen the corpus metric on quiet-after-loud
+    content — i.e. the gate is load-bearing, not vacuously green."""
+    rate = 44100
+    pcm = _quiet_after_loud(rate)
+    q = 0.5
+    g = encode_vbr_stream(pcm, rate, q)
+    dg = _decode(tmp_path, "g.ogg", g)
+
+    def err_of(fe):
+        df = _decode(tmp_path, "f.ogg", fe.encode(pcm))
+        m = min(df.shape[1], dg.shape[1], pcm.shape[1])
+        return (np.sqrt(np.mean((df[:, :m] - pcm[:, :m]) ** 2)),
+                np.sqrt(np.mean((dg[:, :m] - pcm[:, :m]) ** 2)))
+
+    ef, eg = err_of(FastEncoder(2, rate, q))
+    ef_off, _ = err_of(FastEncoder(2, rate, q, psy_state=False))
+    # measured: base ratio ~1.12, psy_state=False ~1.17 — the 1.15
+    # line separates them, so this gate FAILS on the regression
+    assert ef < 1.15 * eg, (ef, eg)
+    assert ef_off > 1.15 * eg, (ef_off, eg)
+    assert ef_off > ef, (ef_off, ef)
+
+
+def test_gates_catch_coupling_threshold_perturbation(tmp_path):
+    """Perturbing the stereo point-coupling thresholds by +1 dB must
+    measurably worsen the error metric (measured: rms ratio 1.087 ->
+    1.141 on mix content, stream 4% smaller) — the coupling gate is
+    sensitive at the 1 dB scale."""
+    rate, q = 44100, 0.5
+    pcm = oracle.make_test_signal(rate=rate, kind="mix")
+    g = encode_vbr_stream(pcm, rate, q)
+    dg = _decode(tmp_path, "g.ogg", g)
+
+    def err_of(fe):
+        f = fe.encode(pcm)
+        df = _decode(tmp_path, "f.ogg", f)
+        m = min(df.shape[1], dg.shape[1], pcm.shape[1])
+        return np.sqrt(np.mean((df[:, :m] - pcm[:, :m]) ** 2)), len(f)
+
+    ef, szf = err_of(FastEncoder(2, rate, q))
+    fe_p = FastEncoder(2, rate, q)
+    fe_p.couple = dict(fe_p.couple)
+    fe_p.couple["thr1"] = fe_p.couple["thr1"] + np.float32(1.0)
+    fe_p.couple["thr2"] = fe_p.couple["thr2"] + np.float32(1.0)
+    ef_p, szp = err_of(fe_p)
+    assert ef_p > 1.03 * ef, (ef_p, ef)
+    assert szp < szf, (szp, szf)

@@ -248,7 +248,19 @@ def _cfg_args(tables: StreamParseTables):
 
 
 def parse_packets(tables: StreamParseTables, packets: list[bytes]):
-    """Parse all audio packets natively.
+    """Parse all audio packets natively (list-of-bytes entry; see
+    parse_packet_arrays for the dense-array form)."""
+    sizes = np.asarray([len(p) for p in packets], np.int64)
+    npkt = len(packets)
+    off = np.zeros(npkt, np.int64)
+    np.cumsum(sizes[:-1], out=off[1:])
+    blob = np.frombuffer(b"".join(packets) + b"\x00" * 8, np.uint8)
+    return parse_packet_arrays(tables, blob, off, sizes * 8)
+
+
+def parse_packet_arrays(tables: StreamParseTables, blob, off, bits):
+    """Parse all audio packets natively from a dense byte blob +
+    per-packet offsets/bit counts (the vn_ogg_scan output form).
 
     Returns (W (npkt,) int32 with -1 for bad/non-audio, posts
     (npkt, ch, Pmax) int32, nonzero (npkt, ch) uint8, res
@@ -258,13 +270,8 @@ def parse_packets(tables: StreamParseTables, packets: list[bytes]):
     L = _load()
     vi = tables.vi
     ch = vi.channels
-    npkt = len(packets)
+    npkt = len(off)
     n2max = vi.blocksizes[1] // 2
-    sizes = np.asarray([len(p) for p in packets], np.int64)
-    off = np.zeros(npkt, np.int64)
-    np.cumsum(sizes[:-1], out=off[1:])
-    blob = np.frombuffer(b"".join(packets) + b"\x00" * 8, np.uint8)
-    bits = sizes * 8
 
     out_W = np.empty(npkt, np.int32)
     out_mode = np.empty(npkt, np.int32)

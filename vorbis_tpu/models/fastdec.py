@@ -185,23 +185,16 @@ class FastDecoder:
             ptr(out), C.c_long(outlen))
         return True
 
-    def _device_imdct(self, spec, W, bs0, bs1, ch):
-        """IMDCT on the TPU for both W groups, batched over packets
-        (bit-exact: ops/mdct.py's vectorized butterfly stages preserve
-        the reference op order on device; verified by the device
-        decode matrix test).  Returns the same `groups`/`gidx` layout
-        the native path produces.  On a PCIe-attached TPU this moves
-        the decode drain's largest host cost to the MXU-adjacent
-        vector units; over this environment's tunnel the PCM
-        round-trip outweighs it (fastdec module docstring), so it is
-        opt-in."""
+    def _device_imdct_dispatch(self, spec, W, bs0, bs1):
+        """Dispatch the IMDCT of both W groups to the accelerator
+        (async); returns a pending handle for _device_imdct_drain.
+        Dispatching EVERY stream's waves before draining any is what
+        lets the multi-stream device batch overlap all transfers and
+        compute (decode_ogg_fast_batch(device=True))."""
         import jax
         import jax.numpy as jnp
-        npkt = len(W)
         if not hasattr(self, "_imdct_jit"):
             self._imdct_jit = {}
-        groups = {}
-        gidx = np.zeros(npkt, np.int32)
         pending = []
         for Wv in (0, 1):
             idx = np.where(W == Wv)[0]
@@ -228,6 +221,14 @@ class FastDecoder:
                 d.copy_to_host_async()
                 outs.append(d)
             pending.append((Wv, idx, n, G, outs))
+        return pending
+
+    @staticmethod
+    def _device_imdct_drain(pending, npkt):
+        """Collect dispatched IMDCT waves into the `groups`/`gidx`
+        layout the lap stage consumes."""
+        groups = {}
+        gidx = np.zeros(npkt, np.int32)
         for Wv, idx, n, G, outs in pending:
             blocks = np.concatenate([np.asarray(o) for o in outs])[:G]
             blocks = np.ascontiguousarray(
@@ -235,6 +236,57 @@ class FastDecoder:
             groups[Wv] = blocks
             gidx[idx] = np.arange(len(idx), dtype=np.int32)
         return groups, gidx
+
+    def _device_imdct(self, spec, W, bs0, bs1, ch):
+        """IMDCT on the TPU for both W groups, batched over packets
+        (bit-exact: ops/mdct.py's vectorized butterfly stages preserve
+        the reference op order on device; verified by the device
+        decode matrix test).  Returns the same `groups`/`gidx` layout
+        the native path produces.  On a PCIe-attached TPU this moves
+        the decode drain's largest host cost to the MXU-adjacent
+        vector units; over this environment's tunnel the PCM
+        round-trip outweighs it (fastdec module docstring), so it is
+        opt-in."""
+        return self._device_imdct_drain(
+            self._device_imdct_dispatch(spec, W, bs0, bs1), len(W))
+
+    def _lap_and_trim(self, W, groups, gidx, gps, eoss, pcm=None):
+        """Windowed scatter-add lapping + granulepos trim from the
+        per-group IMDCT blocks (shared by the staged single-stream
+        path and the multi-stream device batch)."""
+        vi = self.vi
+        ch = vi.channels
+        bs0, bs1 = vi.blocksizes
+        npkt = len(W)
+        lW = np.concatenate([[0], W[:-1]])
+        nW = np.concatenate([W[1:], [W[-1]]])
+        ns = np.where(W == 1, bs1, bs0).astype(np.int64)
+        adv = np.zeros(npkt, np.int64)          # center advance
+        adv[1:] = ns[:-1] // 4 + ns[1:] // 4
+        centers = np.cumsum(adv)
+        starts = centers - ns // 2
+        base = starts.min()
+        total_len = int((centers[-1] + ns[-1] // 2) - base)
+        out = np.zeros((ch, total_len + 8), np.float32)
+        wins = {}
+        for key in {(int(a), int(b), int(c))
+                    for a, b, c in zip(lW, W, nW)}:
+            l, w, nx = key
+            wins[key] = hybrid_window(bs0, bs1, l, w, nx)
+        lap = self._native_lap(groups, gidx, W, lW, nW, starts - base,
+                               wins, out, bs0, bs1)
+        if not lap:
+            for k in range(npkt):
+                key = (int(lW[k]), int(W[k]), int(nW[k]))
+                o = int(starts[k] - base)
+                blk = (pcm[k] if pcm is not None
+                       else groups[int(W[k])][gidx[k]])
+                out[:, o:o + int(ns[k])] += blk * wins[key]
+        gp_arr = np.asarray([-1 if g is None else int(g)
+                             for g in gps], np.int64)
+        eos_arr = np.asarray(eoss, bool)
+        lo, hi = self._trim_range(centers, base, gp_arr, eos_arr)
+        return out[:, lo:hi]
 
     def decode_packets(self, pkts, device: bool = False) -> np.ndarray:
         """pkts: list of (packet_bytes, granulepos_or_None, eos).
@@ -292,36 +344,7 @@ class FastDecoder:
                 for j, k in enumerate(idx):
                     pcm[k] = blocks[j]
 
-        # ---- windowed scatter-add lapping ----
-        lW = np.concatenate([[0], W[:-1]])
-        nW = np.concatenate([W[1:], [W[-1]]])
-        ns = np.where(W == 1, bs1, bs0).astype(np.int64)
-        adv = np.zeros(npkt, np.int64)          # center advance
-        adv[1:] = ns[:-1] // 4 + ns[1:] // 4
-        centers = np.cumsum(adv)
-        starts = centers - ns // 2
-        base = starts.min()
-        total_len = int((centers[-1] + ns[-1] // 2) - base)
-        out = np.zeros((ch, total_len + 8), np.float32)
-        wins = {}
-        for key in {(int(a), int(b), int(c))
-                    for a, b, c in zip(lW, W, nW)}:
-            l, w, nx = key
-            wins[key] = hybrid_window(bs0, bs1, l, w, nx)
-        lap = self._native_lap(groups, gidx, W, lW, nW, starts - base,
-                               wins, out, bs0, bs1)
-        if not lap:
-            for k in range(npkt):
-                key = (int(lW[k]), int(W[k]), int(nW[k]))
-                o = int(starts[k] - base)
-                out[:, o:o + int(ns[k])] += pcm[k] * wins[key]
-
-        # ---- output range + granulepos trimming ----
-        gp_arr = np.asarray([-1 if g is None else int(g)
-                             for g in gps], np.int64)
-        eos_arr = np.asarray(eoss, bool)
-        lo, hi = self._trim_range(centers, base, gp_arr, eos_arr)
-        return out[:, lo:hi]
+        return self._lap_and_trim(W, groups, gidx, gps, eoss, pcm=pcm)
 
     @staticmethod
     def _trim_range(centers, base, gps, eoss):
@@ -444,6 +467,39 @@ def decode_ogg_fast(data: bytes, device: bool = False):
     return dec.decode_packets(pkts[3:], device=device), dec.vi
 
 
+def _decode_batch_device(streams):
+    """Multi-stream DEVICE decode: every stream's packets are parsed
+    natively, then ALL streams' spectra ride one IMDCT dispatch wave
+    on the accelerator (transfers and compute of different streams
+    overlap, like encode_batch's chip-filling batches) before any
+    stream's lap/trim drains.  Bit-exact with the per-stream paths."""
+    from ..codec.nativeparse import parse_packet_arrays
+    from ..native import ogg_scan
+    jobs = []
+    for data in streams:
+        sc = ogg_scan(data)
+        if sc is None:
+            return [decode_ogg_fast(s, device=True) for s in streams]
+        blob, off, lens, gp, eos, _serial = sc
+        hdrs = tuple(blob[off[i]:off[i] + lens[i]].tobytes()
+                     for i in range(3))
+        dec = _decoder_for(hdrs)
+        W, _, _, _, res = parse_packet_arrays(
+            dec.tables, blob, off[3:], lens[3:] * 8)
+        if (W < 0).any():
+            raise FastDecodeUnsupported("bad packet in stream")
+        jobs.append((dec, W, res, gp[3:], eos[3:]))
+    pendings = [
+        dec._device_imdct_dispatch(res, W, *dec.vi.blocksizes)
+        for dec, W, res, _, _ in jobs]
+    outs = []
+    for (dec, W, res, gp, eos), pend in zip(jobs, pendings):
+        groups, gidx = dec._device_imdct_drain(pend, len(W))
+        outs.append((dec._lap_and_trim(W, groups, gidx, gp, eos),
+                     dec.vi))
+    return outs
+
+
 def decode_ogg_fast_batch(streams, threads=None, device=False):
     """Decode MANY independent Ogg streams concurrently.
 
@@ -452,7 +508,11 @@ def decode_ogg_fast_batch(streams, threads=None, device=False):
     entire duration, so a thread pool scales the drain across host
     cores the way the reference would need one process per file
     (libvorbis is single-threaded; SURVEY.md §2 'Parallelism
-    strategies').  Returns a list of (pcm, vi) in input order."""
+    strategies').  device=True instead routes ALL streams' packets
+    through one accelerator IMDCT dispatch wave (_decode_batch_device).
+    Returns a list of (pcm, vi) in input order."""
+    if device and len(streams) > 1:
+        return _decode_batch_device(streams)
     from concurrent.futures import ThreadPoolExecutor
     if threads is None:
         import os
