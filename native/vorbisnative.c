@@ -332,6 +332,110 @@ typedef struct {
     int dim;
 } vn_book;
 
+/* Register-windowed LSB-first bit reader for the packet-parse hot
+ * loop: one unaligned 8-byte load amortizes over several symbols
+ * (vn_huff1 reloaded+masked per symbol).  Zero-extension past the
+ * packet's true bit length and the post-lookup EOP check reproduce
+ * oggpack_look/oggpack_read semantics exactly, so decode results are
+ * bit-identical to the per-symbol reader. */
+typedef struct {
+    const uint8_t *d;
+    long nbits;
+    long pos;       /* bits consumed */
+    uint64_t acc;   /* bits [pos, pos+nacc), zero-extended past end */
+    int nacc;
+} vn_rd;
+
+static inline void vn_rd_load(vn_rd *r)
+{
+    long byte = r->pos >> 3;
+    int bit = r->pos & 7;
+    uint64_t a;
+    long avail;
+    memcpy(&a, r->d + byte, 8);
+    avail = r->nbits - (byte << 3);
+    if (avail <= 0)
+        a = 0;
+    else if (avail < 64)
+        a &= (~0ULL) >> (64 - avail);
+    r->acc = a >> bit;
+    r->nacc = 57 - bit;
+}
+
+static inline void vn_rd_init(vn_rd *r, const uint8_t *d, long nbits)
+{
+    r->d = d;
+    r->nbits = nbits;
+    r->pos = 0;
+    vn_rd_load(r);
+}
+
+static inline int64_t vn_rd_bits(vn_rd *r, int n)
+{
+    if (n > 49) {
+        /* wide fields (e.g. a 63-bit floor0 amp): the window holds
+         * >= 50 valid bits after a reload, so split LSB-first */
+        int64_t lo = vn_rd_bits(r, 32);
+        int64_t hi;
+        if (lo < 0)
+            return -1;
+        hi = vn_rd_bits(r, n - 32);
+        if (hi < 0)
+            return -1;
+        return lo | (hi << 32);
+    }
+    if (r->pos + n > r->nbits) {
+        r->pos = r->nbits;
+        return -1;
+    }
+    if (r->nacc < n)
+        vn_rd_load(r);
+    {
+        int64_t v = (int64_t)(r->acc & ((1ULL << n) - 1));
+        r->pos += n;
+        r->acc >>= n;
+        r->nacc -= n;
+        return v;
+    }
+}
+
+static inline long vn_rd_huff(vn_rd *r, const vn_book *b)
+{
+    uint64_t word;
+    int32_t t;
+    int entry, len;
+    if (r->nacc < VN_K1 + b->K2)
+        vn_rd_load(r);
+    word = r->acc & ((1ULL << VN_K1) - 1);
+    t = b->t1[word];
+    if (t >= 0) {
+        entry = t >> 6;
+        len = t & 63;
+    } else if (t <= -2) {
+        long s = -(long)t - 2;
+        uint64_t w2 = (r->acc >> VN_K1) & ((1ULL << b->K2) - 1);
+        const int32_t *t2 = b->sec + b->soff[s];
+        int32_t u = t2[w2];
+        if (u < 0) {
+            r->pos = r->nbits;
+            return -1;
+        }
+        entry = u >> 6;
+        len = u & 63;
+    } else {
+        r->pos = r->nbits;
+        return -1;
+    }
+    if (r->pos + len > r->nbits) {
+        r->pos = r->nbits;
+        return -1;
+    }
+    r->pos += len;
+    r->acc >>= len;
+    r->nacc -= len;
+    return entry;
+}
+
 /* floor cfg int32 layout (see nativeparse.py), TYPE-TAGGED:
  * cfg[0] = floor type (0 or 1), then the per-type payload:
  * type 1: [posts, quantbits, partitions, quant_q, nclasses,
@@ -470,22 +574,23 @@ static void vn_parse_one(const vn_pctx *cx, const uint8_t *pd, long nbits,
     const int64_t *rescfg_off = cx->rescfg_off;
     const float *fromdB = cx->fromdB;
     {
-        long pos = 0;
+        vn_rd rd;
+        vn_rd_init(&rd, pd, nbits);
         memset(res, 0, (size_t)ch * n2max * sizeof(float));
         *W_out = -1;
         *mode_out = -1;
         for (int c = 0; c < ch; c++)
             nz[c] = 0;
 
-        long b0 = rd_bits(pd, nbits, &pos, 1);
+        long b0 = vn_rd_bits(&rd, 1);
         if (b0 != 0)
             return;
-        long mode = rd_bits(pd, nbits, &pos, modebits);
+        long mode = vn_rd_bits(&rd, modebits);
         if (mode < 0 || mode >= nmodes)
             return;
         int W = mode_blockflag[mode];
         if (W) {
-            if (rd_bits(pd, nbits, &pos, 2) < 0)
+            if (vn_rd_bits(&rd, 2) < 0)
                 return;         /* OV_EBADPACKET in the reference */
         }
         *W_out = W;
@@ -514,7 +619,7 @@ static void vn_parse_one(const vn_pctx *cx, const uint8_t *pd, long nbits,
                 int nbks = fc[3];
                 const int32_t *bids = fc + 4;
                 int32_t *fit = posts + c * Pmax;
-                long ampraw = rd_bits(pd, nbits, &pos, ampbits);
+                long ampraw = vn_rd_bits(&rd, ampbits);
                 if (ampraw <= 0)
                     continue;       /* unused channel (or EOP) */
                 {
@@ -523,8 +628,7 @@ static void vn_parse_one(const vn_pctx *cx, const uint8_t *pd, long nbits,
                      * (floor0_codec.decode_floor0) */
                     float q32 = (float)((double)ampraw / maxval);
                     float ampf = (float)((double)q32 * ampdB);
-                    long booknum = rd_bits(pd, nbits, &pos,
-                                           vn_ilog(nbks));
+                    long booknum = vn_rd_bits(&rd, vn_ilog(nbks));
                     const vn_book *b;
                     float lsp[VN_LSP_MAX];
                     int dim, i2 = 0, dead = 0;
@@ -535,8 +639,7 @@ static void vn_parse_one(const vn_pctx *cx, const uint8_t *pd, long nbits,
                     if (m + dim > VN_LSP_MAX || m + 1 > Pmax)
                         continue;
                     while (i2 < m) {
-                        long e = vn_huff1(pd, nbits, &pos, b->t1,
-                                          b->sec, b->soff, b->K2);
+                        long e = vn_rd_huff(&rd, b);
                         if (e < 0) {
                             dead = 1;
                             break;
@@ -577,11 +680,11 @@ static void vn_parse_one(const vn_pctx *cx, const uint8_t *pd, long nbits,
             int32_t *fit = posts + c * Pmax;
             for (int i = 0; i < P; i++)
                 fit[i] = 0;
-            long one = rd_bits(pd, nbits, &pos, 1);
+            long one = vn_rd_bits(&rd, 1);
             if (one != 1)
                 continue;       /* unused channel (or EOP) */
-            long f0 = rd_bits(pd, nbits, &pos, qbits);
-            long f1 = rd_bits(pd, nbits, &pos, qbits);
+            long f0 = vn_rd_bits(&rd, qbits);
+            long f1 = vn_rd_bits(&rd, qbits);
             if (f0 < 0 || f1 < 0)
                 continue;
             fit[0] = (int32_t)f0;
@@ -595,9 +698,7 @@ static void vn_parse_one(const vn_pctx *cx, const uint8_t *pd, long nbits,
                 long cval = 0;
                 if (csubbits) {
                     int bk = ct[2];
-                    cval = vn_huff1(pd, nbits, &pos, books[bk].t1,
-                                    books[bk].sec, books[bk].soff,
-                                    books[bk].K2);
+                    cval = vn_rd_huff(&rd, &books[bk]);
                     if (cval < 0) {
                         dead = 1;
                         break;
@@ -607,9 +708,7 @@ static void vn_parse_one(const vn_pctx *cx, const uint8_t *pd, long nbits,
                     int bk = ct[3 + (cval & (csub - 1))];
                     cval >>= csubbits;
                     if (bk >= 0) {
-                        long e = vn_huff1(pd, nbits, &pos,
-                                          books[bk].t1, books[bk].sec,
-                                          books[bk].soff, books[bk].K2);
+                        long e = vn_rd_huff(&rd, &books[bk]);
                         if (e < 0) {
                             dead = 1;
                             break;
@@ -708,11 +807,7 @@ static void vn_parse_one(const vn_pctx *cx, const uint8_t *pd, long nbits,
                     long i = 0, l = 0;
                     while (i < partvals && !eop) {
                         if (s == 0) {
-                            long temp = vn_huff1(pd, nbits, &pos,
-                                                 books[phb].t1,
-                                                 books[phb].sec,
-                                                 books[phb].soff,
-                                                 books[phb].K2);
+                            long temp = vn_rd_huff(&rd, &books[phb]);
                             if (temp < 0 || temp >= pv_limit) {
                                 eop = 1;
                                 break;
@@ -741,11 +836,7 @@ static void vn_parse_one(const vn_pctx *cx, const uint8_t *pd, long nbits,
                                 int chptr = 0;
                                 long ii = lo;
                                 while (ii < hi2) {
-                                    long e = vn_huff1(pd, nbits, &pos,
-                                                      books[bk].t1,
-                                                      books[bk].sec,
-                                                      books[bk].soff,
-                                                      books[bk].K2);
+                                    long e = vn_rd_huff(&rd, &books[bk]);
                                     if (e < 0) {
                                         eop = 1;
                                         break;
@@ -796,11 +887,7 @@ static void vn_parse_one(const vn_pctx *cx, const uint8_t *pd, long nbits,
                     while (i < partvals && !eop) {
                         if (s == 0) {
                             for (int j = 0; j < nused; j++) {
-                                long temp = vn_huff1(pd, nbits, &pos,
-                                                     books[phb].t1,
-                                                     books[phb].sec,
-                                                     books[phb].soff,
-                                                     books[phb].K2);
+                                long temp = vn_rd_huff(&rd, &books[phb]);
                                 if (temp < 0 || temp >= pv_limit) {
                                     eop = 1;
                                     break;
@@ -835,12 +922,7 @@ static void vn_parse_one(const vn_pctx *cx, const uint8_t *pd, long nbits,
                                          * kept, full dim per entry */
                                         long ii = 0;
                                         while (ii < grouping) {
-                                            long e = vn_huff1(
-                                                pd, nbits, &pos,
-                                                books[bk].t1,
-                                                books[bk].sec,
-                                                books[bk].soff,
-                                                books[bk].K2);
+                                            long e = vn_rd_huff(&rd, &books[bk]);
                                             if (e < 0) {
                                                 eop = 1;
                                                 break;
@@ -866,12 +948,7 @@ static void vn_parse_one(const vn_pctx *cx, const uint8_t *pd, long nbits,
                                         }
                                         for (long t2 = 0; t2 < step;
                                              t2++) {
-                                            ents[t2] = vn_huff1(
-                                                pd, nbits, &pos,
-                                                books[bk].t1,
-                                                books[bk].sec,
-                                                books[bk].soff,
-                                                books[bk].K2);
+                                            ents[t2] = vn_rd_huff(&rd, &books[bk]);
                                             if (ents[t2] < 0) {
                                                 eop = 1;
                                                 break;
