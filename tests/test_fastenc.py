@@ -343,3 +343,33 @@ def test_fast_quality_corpus_vs_golden(tmp_path, fe):
         assert sf > sg - 2.0, (name, sf, sg)
         ratio = len(f) / len(g)
         assert 0.7 <= ratio <= 1.15, (name, len(f), len(g))
+
+
+def test_rescue_lockstep_batch_equals_serial_walk():
+    """The lockstep-vectorized stretch-rescue (_rescue_walk_batch) must
+    be byte-identical to the per-cluster serial reference walk
+    (_rescue_cluster_serial) on click-dense content, where hundreds of
+    clusters exercise both the trigger tables and the retrig-tail
+    fallback (reference walk: lib/envelope.c:569-681)."""
+    rate = 44100
+
+    def click_train(secs, seed):
+        n = int(secs * rate)
+        t = np.arange(n) / rate
+        rng = np.random.RandomState(1000 + seed)
+        x = 0.05 * np.sin(2 * np.pi * (330 + 11 * seed) * t)
+        step = int(0.09 * rate)
+        for o in range(step // 2, n - 400, step):
+            env = np.exp(-np.arange(256) / 40.0)
+            x[o:o + 256] += 0.75 * env * rng.randn(256)
+        pcmf = np.stack([x, np.roll(x, 7)])
+        return np.clip(np.rint(pcmf * 32768.0), -32768,
+                       32767).astype(np.int16)
+
+    for secs, seed in ((3, 0), (2, 7)):
+        pcm = click_train(secs, seed)
+        ser = FastEncoder(2, rate, 0.5)
+        ser._rescue_force_serial = True
+        a = ser.encode(pcm)
+        b = FastEncoder(2, rate, 0.5).encode(pcm)
+        assert a == b, (secs, seed, len(a), len(b))

@@ -719,17 +719,20 @@ class FastEncoder:
         (DeviceEnvelope.accs_np) and replay the reference's serial
         walk (_ve_envelope_search: stretch grows to 2*VE_MAXSTRETCH,
         resets on a pre-echo trigger; the pre-window and penalty
-        follow stretch//2) over each cluster, replacing its marks."""
+        follow stretch//2) over each cluster, replacing its marks.
+
+        The replay runs LOCKSTEP-VECTORIZED across clusters
+        (_rescue_walk_batch): only the per-step stretch counter is
+        serial state, so all clusters advance together through one
+        numpy state machine — on click-dense content this turns
+        thousands of per-cluster Python walks into ~60 vector steps.
+        Clusters whose stretch state leaks past the window end (a
+        trigger within SMAX+2 steps of it) take the per-cluster
+        serial path with window extension (_rescue_cluster_serial),
+        interleaved in job order so overlapping extended windows
+        overwrite exactly like the all-serial walk did."""
         from ..ops import envelope as ENV
-        gi = self.setup.psy_global
-        env = self._env_obj()
-        sp_pen = float(gi["stretch_penalty"])
-        pre_t = np.asarray(gi["preecho_thresh"], np.float32)
-        post_t = np.asarray(gi["postecho_thresh"], np.float32)
         PAD = self._RESCUE_PAD
-        SMAX = 2 * ENV.VE_MAXSTRETCH
-        MNS = ENV.VE_MINSTRETCH
-        MXS = ENV.VE_MAXSTRETCH
         K_long = 3 * (self.n // 4) + self.vi.blocksizes[0] // 4
         lead = 17 + 14       # nearDC window + pre-window lead-in
 
@@ -768,81 +771,217 @@ class FastEncoder:
             return
         fr_all = self._fetch_env_rows(x64, np.concatenate(all_rows))
 
+        if getattr(self, "_rescue_force_serial", False):
+            # test hook: the all-serial walk the lockstep batch is
+            # held bitwise-equal to (tests/test_fastenc.py)
+            for job in jobs:
+                self._rescue_cluster_serial(x64, fr_all, job)
+            return
+
+        # --- phase 2: lockstep walk over every cluster at once
+        newmk, retrig = self._rescue_walk_batch(fr_all, jobs)
+        SMAX = 2 * ENV.VE_MAXSTRETCH
+        for ci, job in enumerate(jobs):
+            mk, nst, w0, w1 = job[0], job[1], job[4], job[5]
+            if retrig[ci] and w1 < nst:
+                # stretch state leaks past the window end: replay
+                # this cluster serially with window extension
+                self._rescue_cluster_serial(x64, fr_all, job)
+                continue
+            wl = w1 - w0
+            mk[w0:w1] = newmk[ci, :wl]
+            if w1 < nst and newmk[ci, wl]:
+                mk[w1] = True
+
+    def _rescue_walk_batch(self, fr_all, jobs):
+        """Vectorized phase 2 of _stretch_rescue: per-cluster band
+        amplitudes in padded groups (each cluster keeps its OWN
+        cumsum/decay history, like the zero-initialized reference
+        ampbuf), trigger tables per distinct (pre-window, penalty)
+        combo over all clusters, then the serial stretch state machine
+        advanced in lockstep across the cluster axis.  Returns
+        (newmk (C, Lw+2) bool, retrig (C,) bool); marks are written by
+        the caller (or the serial fallback for retrig clusters).
+        Bitwise-identical decisions to _rescue_cluster_serial's walk
+        (tests/test_fastenc.py rescue equivalence test)."""
         from numpy.lib.stride_tricks import sliding_window_view
 
-        # --- phase 2: exact serial walk per cluster
-        for mk, nst, base, Si, w0, w1, b, r0, ro, nr in jobs:
-            fr = fr_all[:, ro:ro + nr]
-            while True:
-                frames = np.concatenate([fr[:, :-1], fr[:, 1:]], -1)
-                acc = env.accs_np(frames)        # (ch, nr-1, 12)
-                # zero history before the stream head, like the
-                # scalar's zero-initialized ampbuf
-                zpad = MXS + 2
-                accp = np.concatenate(
-                    [np.zeros((self.ch, zpad, 12), np.float32), acc],
-                    1)
-                # per-su pre-window extrema tables (vectorized);
-                # window starting at p covers acc rows [p, p+su)
-                tabs = {}
-                for su in range(MNS, MXS + 1):
-                    sw_ = sliding_window_view(accp, su, axis=1)
-                    tabs[su] = (sw_.max(-1), sw_.min(-1))
-                prev = np.concatenate(
-                    [np.zeros((self.ch, 1, 12), np.float32),
-                     acc[:, :-1]], 1)
-                postmax = np.maximum(acc, prev)
-                postmin = np.minimum(acc, prev)
-                # trigger decisions vectorized over the window per
-                # distinct (pre-window, penalty) combo; the serial
-                # walk then just indexes booleans
-                I = np.arange(w0, w1) - r0
-                trig_tab = {}
+        from ..ops import envelope as ENV
+        gi = self.setup.psy_global
+        env = self._env_obj()
+        sp_pen = float(gi["stretch_penalty"])
+        pre_t = np.asarray(gi["preecho_thresh"], np.float32)
+        post_t = np.asarray(gi["postecho_thresh"], np.float32)
+        MNS = ENV.VE_MINSTRETCH
+        MXS = ENV.VE_MAXSTRETCH
+        SMAX = 2 * MXS
+        zpad = MXS + 2
+        ch = self.ch
+        C = len(jobs)
+        nrs = np.asarray([j[9] for j in jobs])
+        ofs = np.asarray([j[4] - j[7] for j in jobs])   # w0 - r0
+        wlen = np.asarray([j[5] - j[4] for j in jobs])  # w1 - w0
+        Lmax = int(nrs.max())
+        Lw = int(wlen.max())
+        Lacc = Lmax - 1
 
-                def trig(s2):
-                    su = max(MNS, s2)
-                    pen = np.float32(
-                        min(max(sp_pen - (s2 - MNS), 0.0), sp_pen))
-                    key = (su, float(pen))
-                    if key not in trig_tab:
-                        pmx, pmn = tabs[su]
-                        pw = I - 1 - su + zpad
-                        t1 = ((postmax[:, I] - pmx[:, pw])
-                              > (pre_t + pen)).any(-1).any(0)
-                        t2 = ((postmin[:, I] - pmn[:, pw])
-                              < (post_t - pen)).any(-1).any(0)
-                        trig_tab[key] = (t1, t2)
-                    return trig_tab[key]
+        # per-cluster accs, clusters padded to Lmax, bounded groups
+        acc = np.zeros((C, ch, Lacc, 12), np.float32)
+        GRP = max(1, (1 << 25) // max(1, ch * Lmax * 128 * 4))
+        for g0 in range(0, C, GRP):
+            g1 = min(C, g0 + GRP)
+            FR = np.zeros((g1 - g0, ch, Lmax, 64), np.float32)
+            for i in range(g0, g1):
+                ro, nr = jobs[i][8], jobs[i][9]
+                FR[i - g0, :, :nr] = fr_all[:, ro:ro + nr]
+            frames = np.concatenate([FR[:, :, :-1], FR[:, :, 1:]], -1)
+            acc[g0:g1] = env.accs_np(frames)
 
-                newmk = np.zeros(w1 - w0 + 2, bool)
-                stretch = SMAX
-                retrig_tail = False
-                for j in range(w0, w1):
-                    stretch = min(stretch + 1, SMAX)
-                    t1, t2 = trig(stretch // 2)
-                    k = j - w0
-                    if t1[k]:
-                        newmk[k] = True
-                        newmk[k + 1] = True
-                    if t2[k]:
-                        newmk[k] = True
-                        if k > 0:
-                            newmk[k - 1] = True
-                    if t1[k]:
-                        stretch = -1
-                        if j >= w1 - (SMAX + 2):
-                            retrig_tail = True
-                if retrig_tail and w1 < nst:
-                    b = w1 + PAD       # trigger near the window end:
-                    w1 = min(nst, b + PAD)   # stretch state leaks on
-                    rhi = min(Si // 64, w1 + 2)
-                    fr = self._fetch_env_rows(
-                        x64, base + np.arange(r0, rhi))
-                    continue
-                mk[w0:w1] = newmk[:w1 - w0]
-                if w1 < nst and newmk[w1 - w0]:
-                    mk[w1] = True
-                break
+        # zero history before each cluster's fetched lead-in (the
+        # scalar's zero-initialized ampbuf)
+        accp = np.concatenate(
+            [np.zeros((C, ch, zpad, 12), np.float32), acc], 2)
+        Lp = zpad + Lacc
+
+        kk = np.arange(Lw)
+        pos = np.minimum(zpad + ofs[:, None] + kk[None, :], Lp - 1)
+        idx = pos[:, None, :, None]
+        take = np.take_along_axis
+        cur = take(accp, idx, 2)                 # (C, ch, Lw, 12)
+        prv = take(accp, np.maximum(idx - 1, 0), 2)
+        postmax = np.maximum(cur, prv)
+        postmin = np.minimum(cur, prv)
+
+        # trigger tables for every distinct (su, pen) combo, indexed
+        # by s2 = stretch//2 (same dedup key as the serial trig())
+        T1 = np.zeros((MXS + 1, C, Lw), bool)
+        T2 = np.zeros((MXS + 1, C, Lw), bool)
+        combo = {}
+        for s2 in range(MXS + 1):
+            su = max(MNS, s2)
+            pen = np.float32(
+                min(max(sp_pen - (s2 - MNS), 0.0), sp_pen))
+            key = (su, float(pen))
+            if key not in combo:
+                sw_ = sliding_window_view(accp, su, axis=2)
+                pmx = sw_.max(-1)                # (C, ch, Lp-su+1, 12)
+                pmn = sw_.min(-1)
+                pw = np.clip(pos - 1 - su, 0, pmx.shape[2] - 1)
+                pwi = pw[:, None, :, None]
+                t1 = ((postmax - take(pmx, pwi, 2))
+                      > (pre_t + pen)).any(-1).any(1)
+                t2 = ((postmin - take(pmn, pwi, 2))
+                      < (post_t - pen)).any(-1).any(1)
+                combo[key] = (t1, t2)
+            T1[s2], T2[s2] = combo[key]
+
+        # lockstep serial walk: stretch is the only cross-step state
+        cidx = np.arange(C)
+        newmk = np.zeros((C, Lw + 2), bool)
+        stretch = np.full(C, SMAX, np.int64)
+        retrig = np.zeros(C, bool)
+        for k in range(Lw):
+            act = k < wlen
+            stretch = np.minimum(stretch + 1, SMAX)
+            s2 = stretch >> 1
+            t1 = T1[s2, cidx, k] & act
+            t2 = T2[s2, cidx, k] & act
+            newmk[:, k] |= t1 | t2
+            newmk[:, k + 1] |= t1
+            if k > 0:
+                newmk[:, k - 1] |= t2
+            retrig |= t1 & (k >= wlen - (SMAX + 2))
+            stretch = np.where(t1, -1, stretch)
+        return newmk, retrig
+
+    def _rescue_cluster_serial(self, x64, fr_all, job):
+        """The per-cluster reference walk (window extends while a
+        trigger lands within SMAX+2 steps of its end): the exact
+        serial replay of _ve_envelope_search over one cluster."""
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        from ..ops import envelope as ENV
+        gi = self.setup.psy_global
+        env = self._env_obj()
+        sp_pen = float(gi["stretch_penalty"])
+        pre_t = np.asarray(gi["preecho_thresh"], np.float32)
+        post_t = np.asarray(gi["postecho_thresh"], np.float32)
+        PAD = self._RESCUE_PAD
+        SMAX = 2 * ENV.VE_MAXSTRETCH
+        MNS = ENV.VE_MINSTRETCH
+        MXS = ENV.VE_MAXSTRETCH
+        mk, nst, base, Si, w0, w1, b, r0, ro, nr = job
+        fr = fr_all[:, ro:ro + nr]
+        while True:
+            frames = np.concatenate([fr[:, :-1], fr[:, 1:]], -1)
+            acc = env.accs_np(frames)        # (ch, nr-1, 12)
+            # zero history before the stream head, like the
+            # scalar's zero-initialized ampbuf
+            zpad = MXS + 2
+            accp = np.concatenate(
+                [np.zeros((self.ch, zpad, 12), np.float32), acc],
+                1)
+            # per-su pre-window extrema tables (vectorized);
+            # window starting at p covers acc rows [p, p+su)
+            tabs = {}
+            for su in range(MNS, MXS + 1):
+                sw_ = sliding_window_view(accp, su, axis=1)
+                tabs[su] = (sw_.max(-1), sw_.min(-1))
+            prev = np.concatenate(
+                [np.zeros((self.ch, 1, 12), np.float32),
+                 acc[:, :-1]], 1)
+            postmax = np.maximum(acc, prev)
+            postmin = np.minimum(acc, prev)
+            # trigger decisions vectorized over the window per
+            # distinct (pre-window, penalty) combo; the serial
+            # walk then just indexes booleans
+            I = np.arange(w0, w1) - r0
+            trig_tab = {}
+
+            def trig(s2):
+                su = max(MNS, s2)
+                pen = np.float32(
+                    min(max(sp_pen - (s2 - MNS), 0.0), sp_pen))
+                key = (su, float(pen))
+                if key not in trig_tab:
+                    pmx, pmn = tabs[su]
+                    pw = I - 1 - su + zpad
+                    t1 = ((postmax[:, I] - pmx[:, pw])
+                          > (pre_t + pen)).any(-1).any(0)
+                    t2 = ((postmin[:, I] - pmn[:, pw])
+                          < (post_t - pen)).any(-1).any(0)
+                    trig_tab[key] = (t1, t2)
+                return trig_tab[key]
+
+            newmk = np.zeros(w1 - w0 + 2, bool)
+            stretch = SMAX
+            retrig_tail = False
+            for j in range(w0, w1):
+                stretch = min(stretch + 1, SMAX)
+                t1, t2 = trig(stretch // 2)
+                k = j - w0
+                if t1[k]:
+                    newmk[k] = True
+                    newmk[k + 1] = True
+                if t2[k]:
+                    newmk[k] = True
+                    if k > 0:
+                        newmk[k - 1] = True
+                if t1[k]:
+                    stretch = -1
+                    if j >= w1 - (SMAX + 2):
+                        retrig_tail = True
+            if retrig_tail and w1 < nst:
+                b = w1 + PAD       # trigger near the window end:
+                w1 = min(nst, b + PAD)   # stretch state leaks on
+                rhi = min(Si // 64, w1 + 2)
+                fr = self._fetch_env_rows(
+                    x64, base + np.arange(r0, rhi))
+                continue
+            mk[w0:w1] = newmk[:w1 - w0]
+            if w1 < nst and newmk[w1 - w0]:
+                mk[w1] = True
+            break
 
 
     def _schedule(self, marks, ns):
