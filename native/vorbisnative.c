@@ -2030,3 +2030,132 @@ long vn_ogg_scan(const uint8_t *data, long n, int64_t *serial_io,
     *serial_io = serial;
     return npkt;
 }
+
+/* ---- encoder schedule helpers -------------------------------------- */
+
+/* Stretch-rescue lockstep walk (the serial half of the fast encoder's
+ * envelope rescue; reference state machine: envelope.c:569-681
+ * _ve_envelope_search).  T1/T2 are device-built boolean trigger
+ * tables, shape (smax/2 + 1, C, Lw) C-order, indexed
+ * [stretch>>1, cluster, window step]; wlen[c] is cluster c's live
+ * window length.  Writes newmk (C, Lw+2) and retrig (C,), both
+ * zeroed by the caller.  The per-step feedback (stretch resets to -1
+ * on a pre-echo trigger, saturates at smax) is the only serial state,
+ * so the walk is a trivial table scan — microseconds for the cluster
+ * counts the Python lockstep spent hundreds of milliseconds on. */
+long vn_rescue_walk(const uint8_t *T1, const uint8_t *T2,
+                    long C, long Lw, const int32_t *wlen, int smax,
+                    uint8_t *newmk, uint8_t *retrig)
+{
+    long c, k;
+    for (c = 0; c < C; c++) {
+        const long wl = wlen[c];
+        uint8_t *nm = newmk + c * (Lw + 2);
+        int stretch = smax;
+        int rt = 0;
+        for (k = 0; k < wl; k++) {
+            long s2;
+            uint8_t t1, t2;
+            stretch = stretch + 1 < smax ? stretch + 1 : smax;
+            s2 = (long)(stretch >> 1);
+            t1 = T1[(s2 * C + c) * Lw + k];
+            t2 = T2[(s2 * C + c) * Lw + k];
+            if (t1 | t2)
+                nm[k] = 1;
+            if (t1)
+                nm[k + 1] = 1;
+            if (t2 && k > 0)
+                nm[k - 1] = 1;
+            if (t1) {
+                if (k >= wl - (smax + 2))
+                    rt = 1;
+                stretch = -1;
+            }
+        }
+        retrig[c] = (uint8_t)rt;
+    }
+    return 0;
+}
+
+/* Envelope marks -> block schedule: the exact blockout /
+ * envelope_search state machine (reference: block.c:557-812 W
+ * feedback, envelope.c:569-735 cursor/curmark semantics), one serial
+ * pass in C instead of the O(blocks) Python loop the transient leg
+ * spent ~0.9 s/batch in.  marks: (nmk,) uint8; emits centers (i64),
+ * Ws (i64), impulse (u8) in padded-stream coordinates.  Returns the
+ * segment count (caller sizes the outputs to
+ * (end_c - hop)/(n0/2) + 3). */
+long vn_schedule(const uint8_t *marks, long nmk, long ns,
+                 long n0, long n1,
+                 int64_t *centers, int64_t *Ws, uint8_t *impulse)
+{
+    const long hop = n1 / 2;
+    const long end_c = hop + ns;
+    const long limit = 64 * nmk;
+    const long bs[2] = { n0, n1 };
+    long centerW = hop;
+    long W = 0;
+    long cursor = hop;
+    long curmark = 0;
+    long mi0 = 0;          /* first mark index with pos >= cursor */
+    long cnt = 0;
+
+    /* mark positions, extracted once (cursor/centerW are monotone so
+     * both scans below only ever move forward) */
+    for (;;) {
+        long testW = centerW + bs[W] / 4 + n1 / 2 + n0 / 4;
+        long m_abs = -1;
+        long mi, bp, nW, imp;
+        /* advance mi0 to the first mark at/after cursor */
+        while (mi0 < nmk
+               && (!marks[mi0] || (int64_t)mi0 * 64 < cursor))
+            mi0++;
+        /* first mark strictly after centerW */
+        mi = mi0;
+        while (mi < nmk) {
+            if (marks[mi] && (int64_t)mi * 64 > centerW) {
+                m_abs = (int64_t)mi * 64;
+                break;
+            }
+            mi++;
+        }
+        if (m_abs >= 0 && m_abs < testW) {
+            bp = 0;
+            cursor = m_abs;
+            curmark = m_abs;
+        } else if (testW <= limit) {
+            bp = 1;
+            if (((testW - 1) / 64) * 64 > cursor)
+                cursor = ((testW - 1) / 64) * 64;
+        } else {
+            bp = -1;
+            if (((limit - 1) / 64) * 64 > cursor)
+                cursor = ((limit - 1) / 64) * 64;
+        }
+        nW = bp == 1 ? 1 : 0;
+        imp = 0;
+        if (W == 0) {
+            long b0 = centerW - n0 / 4 - n0 / 4;
+            long e0 = centerW + n0 / 4 + n0 / 4;
+            long b = b0 <= 0 ? 0 : b0 / 64;
+            long e = e0 <= 0 ? 0 : (e0 + 63) / 64;
+            long i;
+            if (b > nmk) b = nmk;
+            if (e > nmk) e = nmk;
+            for (i = b; i < e; i++) {
+                if (marks[i]) { imp = 1; break; }
+            }
+            if (!imp && b0 <= curmark && curmark < e0 && curmark > 0)
+                imp = 1;
+        }
+        centers[cnt] = centerW;
+        Ws[cnt] = W;
+        impulse[cnt] = (uint8_t)imp;
+        cnt++;
+        if (centerW >= end_c)
+            break;
+        centerW = centerW + bs[W] / 4 + bs[nW] / 4;
+        W = nW;
+    }
+    return cnt;
+}

@@ -124,6 +124,53 @@ def test_managed_rate_window_and_quality(tmp_path):
     assert ef < 1.25 * eg, (ef, eg)
 
 
+def test_managed_switching_mixes_blocks_and_preecho(tmp_path):
+    """VERDICT r4 weak #4: the managed fast path's block switching
+    must actually DO its job on transient content — a managed click
+    train must (a) contain both 256 and 2048 packets (the unmanaged
+    path has this assertion, test_fastenc.py), and (b) keep pre-echo
+    within 1.3x the golden ABR encoder (the round-3 done-criterion;
+    reference: lib/bitrate.c:92-99 managed blocks switch like VBR,
+    lib/mapping0.c:1204-1313)."""
+    from vorbis_tpu.bitstream.oggfile import OggStreamReader
+    from vorbis_tpu.codec import headers as H
+    from vorbis_tpu.codec.decoder import packet_blocksize
+    from tests.test_fastenc import _golden_managed
+    rate = 44100
+    t = np.arange(rate) / rate
+    mono = (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    clicks = [int((k + 0.5) * rate / 8) for k in range(8)]
+    for c in clicks:
+        mono[c] = 0.9
+    pcm = np.stack([mono, mono])
+
+    fe = FastEncoder(2, rate, bitrate=(-1, 128000, -1))
+    f = fe.encode_managed(pcm)
+
+    # (a) short AND long block packets present and correctly flagged
+    pkts = [p for p, _, _ in OggStreamReader(f).packets()]
+    vi = H.parse_headers(pkts[:3])
+    sizes = [packet_blocksize(vi, p) for p in pkts[3:]]
+    assert sizes.count(256) >= 8, sizes.count(256)
+    assert sizes.count(2048) >= 8, sizes.count(2048)
+
+    # (b) pre-echo within 1.3x the golden ABR on the same input
+    g = _golden_managed(pcm, rate, -1, 128000, -1)
+    df = _decode(tmp_path, "mt_f.ogg", f)
+    dg = _decode(tmp_path, "mt_g.ogg", g)
+
+    def pre_echo(got):
+        errs = []
+        for c in clicks:
+            a, b = c - 900, c - 20
+            errs.append(np.sqrt(np.mean(
+                (got[:, a:b] - pcm[:, a:b]) ** 2)))
+        return float(np.mean(errs))
+
+    pe_f, pe_g = pre_echo(df), pre_echo(dg)
+    assert pe_f < 1.3 * pe_g, (pe_f, pe_g)
+
+
 # ---------------------------------------------------------------------------
 # masked-error proxy: quantization noise vs the EXACT psy mask
 # ---------------------------------------------------------------------------

@@ -679,30 +679,191 @@ class FastEncoder:
                 self.setup.psy_global, self.ch)
         return self._env_rescue_obj
 
-    def _fetch_env_rows(self, x64, rows):
-        """Gather 64-sample rows from the (device-resident) stream
-        array to host f32, in fixed-size buckets (one compiled shape;
-        all buckets dispatched before any is drained so the tunnel
-        round-trips overlap)."""
-        NR = 512
-        if not hasattr(self, "_rescue_fetch"):
+    _RESCUE_G = 128     # clusters per trigger-table dispatch
+
+    def _rescue_trig_step(self, G, Lmax, Lw):
+        """Jitted (x64, rows (G, Lmax) i32, nr (G,), ofs (G,)) ->
+        (T1, T2) (MAXSTRETCH+1, G, Lw) bool trigger tables, the
+        ENTIRE per-cluster envelope replay on device: gather the
+        cluster's 64-sample rows, recompute the 12-band amplitudes
+        (the same math as DeviceEnvelope.marks_nd), build the
+        sliding pre-window extrema for every distinct
+        (stretch-window, penalty) combo and compare against the
+        pre/post-echo thresholds.  Only these boolean tables cross
+        the link (~12 KB/cluster vs the ~32 KB of raw PCM rows the
+        round-4 host rescue fetched), and the host walk is left with
+        pure boolean indexing.  Reference walk: envelope.c:569-681."""
+        if not hasattr(self, "_rescue_trig_cache"):
+            self._rescue_trig_cache = {}
+        key = (G, Lmax, Lw)
+        if key not in self._rescue_trig_cache:
+            from ..ops import envelope as ENV
+            from ..ops.jaxdsp import mdct_matmul
+            from ..utils.scales import todB
+            env = self._env_obj()
+            gi = self.setup.psy_global
+            sp_pen = float(gi["stretch_penalty"])
+            pre_t = jnp.asarray(
+                np.asarray(gi["preecho_thresh"], np.float32))
+            post_t = jnp.asarray(
+                np.asarray(gi["postecho_thresh"], np.float32))
+            MNS = ENV.VE_MINSTRETCH
+            MXS = ENV.VE_MAXSTRETCH
+            zpad = MXS + 2
+            ch = self.ch
+            Lacc = Lmax - 1
+            Lp = zpad + Lacc
+            w = env.neardc + 1
+            Bm = env.Bm
+            mwin = env.mdct_win
+            minV = env.minV
+            f32 = np.float32
+
             @jax.jit
-            def fetch(x, r):
-                sl = jnp.take(x, r, axis=1)
+            def step(x64, rows, nr, ofs):
+                sl = jnp.take(x64, rows.reshape(-1), axis=1)
+                sl = sl.reshape(ch, G, Lmax, 64)
                 if sl.dtype != jnp.float32:
-                    sl = sl.astype(jnp.float32) / np.float32(32768.0)
-                return sl
-            self._rescue_fetch = fetch
+                    sl = sl.astype(jnp.float32) / f32(32768.0)
+                # zero rows at/past each cluster's end (the scalar's
+                # zero-initialized ampbuf history semantics)
+                valid = (jnp.arange(Lmax, dtype=jnp.int32)[None, :]
+                         < nr[:, None])
+                sl = sl * valid[None, :, :, None]
+                frames = jnp.concatenate(
+                    [sl[:, :, :-1], sl[:, :, 1:]], -1)
+                vec = mdct_matmul(frames * mwin, 128)
+                temp = (vec[..., 0] * vec[..., 0]
+                        + f32(0.7) * vec[..., 1] * vec[..., 1]
+                        + f32(0.2) * vec[..., 2] * vec[..., 2])
+                cs = jnp.cumsum(temp, axis=-1)
+                winsum = cs - jnp.concatenate(
+                    [jnp.zeros(cs.shape[:-1] + (w,)), cs[..., :-w]],
+                    -1)
+                decay = (todB(winsum * f32(1.0 / w), xp=jnp)
+                         * f32(0.5) - f32(15.0))
+                pairs = (vec[..., 0::2] * vec[..., 0::2]
+                         + vec[..., 1::2] * vec[..., 1::2])[..., :32]
+                kk = jnp.arange(32, dtype=jnp.float32)
+                d = decay[..., None] - f32(8.0) * kk
+                sp = jnp.maximum(jnp.maximum(
+                    todB(pairs, xp=jnp) * f32(0.5), d), minV)
+                acc = jnp.einsum(
+                    "cgsk,kb->cgsb", sp, Bm,
+                    precision=jax.lax.Precision.HIGHEST)
+                accp = jnp.concatenate(
+                    [jnp.zeros((ch, G, zpad, 12), jnp.float32), acc],
+                    2)
+                pos = jnp.clip(
+                    zpad + ofs[:, None]
+                    + jnp.arange(Lw, dtype=jnp.int32)[None, :],
+                    0, Lp - 1)                        # (G, Lw)
+                idx = pos[None, :, :, None]
+                take = jnp.take_along_axis
+                cur = take(accp, idx, axis=2)
+                prv = take(accp, jnp.maximum(idx - 1, 0), axis=2)
+                postmax = jnp.maximum(cur, prv)
+                postmin = jnp.minimum(cur, prv)
+                T1s, T2s = [], []
+                combo = {}
+                for s2 in range(MXS + 1):
+                    su = max(MNS, s2)
+                    pen = f32(min(max(sp_pen - (s2 - MNS), 0.0),
+                                  sp_pen))
+                    ck = (su, float(pen))
+                    if ck not in combo:
+                        pmx = accp[:, :, :Lp - su + 1]
+                        pmn = pmx
+                        for s in range(1, su):
+                            seg = accp[:, :, s:s + Lp - su + 1]
+                            pmx = jnp.maximum(pmx, seg)
+                            pmn = jnp.minimum(pmn, seg)
+                        pw = jnp.clip(pos - 1 - su, 0, Lp - su)
+                        pwi = pw[None, :, :, None]
+                        t1 = ((postmax - take(pmx, pwi, axis=2))
+                              > (pre_t + pen)).any(-1).any(0)
+                        t2 = ((postmin - take(pmn, pwi, axis=2))
+                              < (post_t - pen)).any(-1).any(0)
+                        combo[ck] = (t1, t2)
+                    T1s.append(combo[ck][0])
+                    T2s.append(combo[ck][1])
+
+                # bit-pack along the step axis (8 steps/byte, LSB
+                # first): the tables cross the throttled tunnel, and
+                # 8x fewer bytes is 8x less drain time
+                wts = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128],
+                                  jnp.uint32)
+
+                def pack(ts):
+                    s = jnp.stack(ts).astype(jnp.uint32)
+                    s = s.reshape(s.shape[0], s.shape[1],
+                                  s.shape[2] // 8, 8)
+                    return (s * wts).sum(-1).astype(jnp.uint8)
+
+                return pack(T1s), pack(T2s)
+
+            self._rescue_trig_cache[key] = step
+        return self._rescue_trig_cache[key]
+
+    def _rescue_trig_tables(self, x64, jobs):
+        """Device trigger tables for a list of rescue jobs: bucket
+        clusters by padded row length, dispatch every group before
+        draining any (the transfers overlap), and scatter the per-
+        group results into (MAXSTRETCH+1, C, Lwmax) host bool arrays
+        indexed [stretch//2, cluster, window step]."""
+        from ..ops import envelope as ENV
+        MXS = ENV.VE_MAXSTRETCH
+        R = int(x64.shape[1])
+        C = len(jobs)
+        nrs = [j[8] for j in jobs]
+        wls = [j[5] - j[4] for j in jobs]
+        Lwmax = max(wls)
+
+        def bucket(n):
+            b = 128
+            while b < n:
+                b *= 2
+            return b
+
+        order = sorted(range(C), key=lambda i: bucket(nrs[i]))
+        T1 = np.zeros((MXS + 1, C, Lwmax), bool)
+        T2 = np.zeros((MXS + 1, C, Lwmax), bool)
         pend = []
-        for o in range(0, len(rows), NR):
-            r = rows[o:o + NR]
-            rp = np.zeros(NR, np.int32)
-            rp[:len(r)] = r
-            d = self._rescue_fetch(x64, jnp.asarray(rp))
-            d.copy_to_host_async()
-            pend.append((d, len(r)))
-        return np.concatenate(
-            [np.asarray(d)[:, :l] for d, l in pend], 1)
+        i = 0
+        while i < len(order):
+            Lb = bucket(nrs[order[i]])
+            grp = [order[i]]
+            i += 1
+            while (i < len(order) and len(grp) < self._RESCUE_G
+                   and bucket(nrs[order[i]]) == Lb):
+                grp.append(order[i])
+                i += 1
+            G = self._RESCUE_G if len(grp) > 8 else 8
+            rows = np.zeros((G, Lb), np.int32)
+            nr = np.zeros(G, np.int32)
+            ofs = np.zeros(G, np.int32)
+            for g, ji in enumerate(grp):
+                _, _, base, _, w0, _, _, r0, nrj = jobs[ji]
+                rows[g, :nrj] = np.minimum(base + r0 + np.arange(nrj),
+                                           R - 1)
+                nr[g] = nrj
+                ofs[g] = w0 - r0
+            step = self._rescue_trig_step(G, Lb, Lb)
+            d1, d2 = step(x64, jnp.asarray(rows), jnp.asarray(nr),
+                          jnp.asarray(ofs))
+            d1.copy_to_host_async()
+            d2.copy_to_host_async()
+            pend.append((grp, d1, d2))
+        for grp, d1, d2 in pend:
+            h1 = np.unpackbits(np.asarray(d1), axis=-1,
+                               bitorder="little")
+            h2 = np.unpackbits(np.asarray(d2), axis=-1,
+                               bitorder="little")
+            for g, ji in enumerate(grp):
+                wl = min(wls[ji], h1.shape[2])
+                T1[:, ji, :wl] = h1[:, g, :wl]
+                T2[:, ji, :wl] = h2[:, g, :wl]
+        return T1, T2
 
     def _stretch_rescue(self, x64, metas, marks):
         """Exact envelope `stretch` hysteresis around candidate marks.
@@ -714,32 +875,32 @@ class FastEncoder:
         transient content.  Steady regions (>= 24 trigger-free steps)
         ARE exact, and any trigger is itself a steady-state candidate,
         so only candidate neighborhoods need fixing: dilate candidate
-        clusters, fetch their PCM rows (ONE overlapped transfer for
-        every cluster of every stream), recompute the band amplitudes
-        (DeviceEnvelope.accs_np) and replay the reference's serial
-        walk (_ve_envelope_search: stretch grows to 2*VE_MAXSTRETCH,
+        clusters, replay the per-(stretch, penalty) trigger decisions
+        ON DEVICE (_rescue_trig_tables: gather the cluster rows,
+        recompute the 12-band amplitudes, sliding pre-window extrema
+        and threshold compares — only boolean trigger tables cross
+        the link), then advance the reference's serial walk
+        (_ve_envelope_search: stretch grows to 2*VE_MAXSTRETCH,
         resets on a pre-echo trigger; the pre-window and penalty
-        follow stretch//2) over each cluster, replacing its marks.
+        follow stretch//2) over the tables, replacing the marks.
 
-        The replay runs LOCKSTEP-VECTORIZED across clusters
+        The walk runs LOCKSTEP-VECTORIZED across clusters
         (_rescue_walk_batch): only the per-step stretch counter is
         serial state, so all clusters advance together through one
-        numpy state machine — on click-dense content this turns
-        thousands of per-cluster Python walks into ~60 vector steps.
-        Clusters whose stretch state leaks past the window end (a
-        trigger within SMAX+2 steps of it) take the per-cluster
+        boolean-indexing state machine — on click-dense content this
+        turns thousands of per-cluster Python walks into ~60 vector
+        steps, and no PCM or band-amplitude data ever reaches the
+        host.  Clusters whose stretch state leaks past the window end
+        (a trigger within SMAX+2 steps of it) take the per-cluster
         serial path with window extension (_rescue_cluster_serial),
         interleaved in job order so overlapping extended windows
         overwrite exactly like the all-serial walk did."""
-        from ..ops import envelope as ENV
         PAD = self._RESCUE_PAD
         K_long = 3 * (self.n // 4) + self.vi.blocksizes[0] // 4
         lead = 17 + 14       # nearDC window + pre-window lead-in
 
         # --- phase 1: cluster discovery across ALL streams
         jobs = []
-        all_rows = []
-        rofs = 0
         for (ns, base, Si), mk in zip(metas, marks):
             nst = len(mk)
             # marks past the schedule's look-ahead horizon (tail pad
@@ -763,117 +924,60 @@ class FastEncoder:
                 w1 = min(nst, b + PAD)
                 r0 = max(0, w0 - lead)
                 rhi = min(Si // 64, w1 + 2)
-                jobs.append([mk, nst, base, Si, w0, w1, b, r0, rofs,
+                jobs.append([mk, nst, base, Si, w0, w1, b, r0,
                              rhi - r0])
-                all_rows.append(base + np.arange(r0, rhi))
-                rofs += rhi - r0
         if not jobs:
             return
-        fr_all = self._fetch_env_rows(x64, np.concatenate(all_rows))
+        T1, T2 = self._rescue_trig_tables(x64, jobs)
 
         if getattr(self, "_rescue_force_serial", False):
             # test hook: the all-serial walk the lockstep batch is
             # held bitwise-equal to (tests/test_fastenc.py)
-            for job in jobs:
-                self._rescue_cluster_serial(x64, fr_all, job)
+            for ci, job in enumerate(jobs):
+                self._rescue_cluster_serial(
+                    x64, job, T1[:, ci], T2[:, ci])
             return
 
         # --- phase 2: lockstep walk over every cluster at once
-        newmk, retrig = self._rescue_walk_batch(fr_all, jobs)
-        SMAX = 2 * ENV.VE_MAXSTRETCH
+        newmk, retrig = self._rescue_walk_batch(T1, T2, jobs)
         for ci, job in enumerate(jobs):
             mk, nst, w0, w1 = job[0], job[1], job[4], job[5]
             if retrig[ci] and w1 < nst:
                 # stretch state leaks past the window end: replay
                 # this cluster serially with window extension
-                self._rescue_cluster_serial(x64, fr_all, job)
+                self._rescue_cluster_serial(
+                    x64, job, T1[:, ci], T2[:, ci])
                 continue
             wl = w1 - w0
             mk[w0:w1] = newmk[ci, :wl]
             if w1 < nst and newmk[ci, wl]:
                 mk[w1] = True
 
-    def _rescue_walk_batch(self, fr_all, jobs):
-        """Vectorized phase 2 of _stretch_rescue: per-cluster band
-        amplitudes in padded groups (each cluster keeps its OWN
-        cumsum/decay history, like the zero-initialized reference
-        ampbuf), trigger tables per distinct (pre-window, penalty)
-        combo over all clusters, then the serial stretch state machine
-        advanced in lockstep across the cluster axis.  Returns
-        (newmk (C, Lw+2) bool, retrig (C,) bool); marks are written by
-        the caller (or the serial fallback for retrig clusters).
-        Bitwise-identical decisions to _rescue_cluster_serial's walk
+    def _rescue_walk_batch(self, T1, T2, jobs):
+        """Vectorized phase 2 of _stretch_rescue: the serial stretch
+        state machine advanced in lockstep across the cluster axis
+        over the device-built trigger tables (_rescue_trig_tables).
+        Only the per-step stretch counter is serial state, and every
+        per-step decision is a boolean table lookup, so the host does
+        ~60 vector steps of pure indexing.  Returns (newmk (C, Lw+2)
+        bool, retrig (C,) bool); marks are written by the caller (or
+        the serial fallback for retrig clusters).  Bitwise-identical
+        decisions to _rescue_cluster_serial's walk
         (tests/test_fastenc.py rescue equivalence test)."""
-        from numpy.lib.stride_tricks import sliding_window_view
-
         from ..ops import envelope as ENV
-        gi = self.setup.psy_global
-        env = self._env_obj()
-        sp_pen = float(gi["stretch_penalty"])
-        pre_t = np.asarray(gi["preecho_thresh"], np.float32)
-        post_t = np.asarray(gi["postecho_thresh"], np.float32)
-        MNS = ENV.VE_MINSTRETCH
-        MXS = ENV.VE_MAXSTRETCH
-        SMAX = 2 * MXS
-        zpad = MXS + 2
-        ch = self.ch
+        from .. import native
+        SMAX = 2 * ENV.VE_MAXSTRETCH
         C = len(jobs)
-        nrs = np.asarray([j[9] for j in jobs])
-        ofs = np.asarray([j[4] - j[7] for j in jobs])   # w0 - r0
         wlen = np.asarray([j[5] - j[4] for j in jobs])  # w1 - w0
-        Lmax = int(nrs.max())
-        Lw = int(wlen.max())
-        Lacc = Lmax - 1
+        Lw = T1.shape[2]
 
-        # per-cluster accs, clusters padded to Lmax, bounded groups
-        acc = np.zeros((C, ch, Lacc, 12), np.float32)
-        GRP = max(1, (1 << 25) // max(1, ch * Lmax * 128 * 4))
-        for g0 in range(0, C, GRP):
-            g1 = min(C, g0 + GRP)
-            FR = np.zeros((g1 - g0, ch, Lmax, 64), np.float32)
-            for i in range(g0, g1):
-                ro, nr = jobs[i][8], jobs[i][9]
-                FR[i - g0, :, :nr] = fr_all[:, ro:ro + nr]
-            frames = np.concatenate([FR[:, :, :-1], FR[:, :, 1:]], -1)
-            acc[g0:g1] = env.accs_np(frames)
-
-        # zero history before each cluster's fetched lead-in (the
-        # scalar's zero-initialized ampbuf)
-        accp = np.concatenate(
-            [np.zeros((C, ch, zpad, 12), np.float32), acc], 2)
-        Lp = zpad + Lacc
-
-        kk = np.arange(Lw)
-        pos = np.minimum(zpad + ofs[:, None] + kk[None, :], Lp - 1)
-        idx = pos[:, None, :, None]
-        take = np.take_along_axis
-        cur = take(accp, idx, 2)                 # (C, ch, Lw, 12)
-        prv = take(accp, np.maximum(idx - 1, 0), 2)
-        postmax = np.maximum(cur, prv)
-        postmin = np.minimum(cur, prv)
-
-        # trigger tables for every distinct (su, pen) combo, indexed
-        # by s2 = stretch//2 (same dedup key as the serial trig())
-        T1 = np.zeros((MXS + 1, C, Lw), bool)
-        T2 = np.zeros((MXS + 1, C, Lw), bool)
-        combo = {}
-        for s2 in range(MXS + 1):
-            su = max(MNS, s2)
-            pen = np.float32(
-                min(max(sp_pen - (s2 - MNS), 0.0), sp_pen))
-            key = (su, float(pen))
-            if key not in combo:
-                sw_ = sliding_window_view(accp, su, axis=2)
-                pmx = sw_.max(-1)                # (C, ch, Lp-su+1, 12)
-                pmn = sw_.min(-1)
-                pw = np.clip(pos - 1 - su, 0, pmx.shape[2] - 1)
-                pwi = pw[:, None, :, None]
-                t1 = ((postmax - take(pmx, pwi, 2))
-                      > (pre_t + pen)).any(-1).any(1)
-                t2 = ((postmin - take(pmn, pwi, 2))
-                      < (post_t - pen)).any(-1).any(1)
-                combo[key] = (t1, t2)
-            T1[s2], T2[s2] = combo[key]
+        # native table scan when available: giant merged clusters on
+        # click-dense content make Lw tens of thousands of steps, and
+        # the numpy lockstep pays ~40 us/step in fancy-indexing
+        # overhead the C loop doesn't
+        res = native.rescue_walk(T1, T2, wlen, SMAX)
+        if res is not None:
+            return res
 
         # lockstep serial walk: stretch is the only cross-step state
         cidx = np.arange(C)
@@ -894,89 +998,46 @@ class FastEncoder:
             stretch = np.where(t1, -1, stretch)
         return newmk, retrig
 
-    def _rescue_cluster_serial(self, x64, fr_all, job):
+    def _rescue_cluster_serial(self, x64, job, T1c, T2c):
         """The per-cluster reference walk (window extends while a
         trigger lands within SMAX+2 steps of its end): the exact
-        serial replay of _ve_envelope_search over one cluster."""
-        from numpy.lib.stride_tricks import sliding_window_view
-
+        serial replay of _ve_envelope_search over one cluster, over
+        the SAME device-built trigger tables as the lockstep batch
+        (T1c/T2c: (VE_MAXSTRETCH+1, >= w1-w0) bool, indexed
+        [stretch//2, window step])."""
         from ..ops import envelope as ENV
-        gi = self.setup.psy_global
-        env = self._env_obj()
-        sp_pen = float(gi["stretch_penalty"])
-        pre_t = np.asarray(gi["preecho_thresh"], np.float32)
-        post_t = np.asarray(gi["postecho_thresh"], np.float32)
         PAD = self._RESCUE_PAD
         SMAX = 2 * ENV.VE_MAXSTRETCH
-        MNS = ENV.VE_MINSTRETCH
-        MXS = ENV.VE_MAXSTRETCH
-        mk, nst, base, Si, w0, w1, b, r0, ro, nr = job
-        fr = fr_all[:, ro:ro + nr]
         while True:
-            frames = np.concatenate([fr[:, :-1], fr[:, 1:]], -1)
-            acc = env.accs_np(frames)        # (ch, nr-1, 12)
-            # zero history before the stream head, like the
-            # scalar's zero-initialized ampbuf
-            zpad = MXS + 2
-            accp = np.concatenate(
-                [np.zeros((self.ch, zpad, 12), np.float32), acc],
-                1)
-            # per-su pre-window extrema tables (vectorized);
-            # window starting at p covers acc rows [p, p+su)
-            tabs = {}
-            for su in range(MNS, MXS + 1):
-                sw_ = sliding_window_view(accp, su, axis=1)
-                tabs[su] = (sw_.max(-1), sw_.min(-1))
-            prev = np.concatenate(
-                [np.zeros((self.ch, 1, 12), np.float32),
-                 acc[:, :-1]], 1)
-            postmax = np.maximum(acc, prev)
-            postmin = np.minimum(acc, prev)
-            # trigger decisions vectorized over the window per
-            # distinct (pre-window, penalty) combo; the serial
-            # walk then just indexes booleans
-            I = np.arange(w0, w1) - r0
-            trig_tab = {}
-
-            def trig(s2):
-                su = max(MNS, s2)
-                pen = np.float32(
-                    min(max(sp_pen - (s2 - MNS), 0.0), sp_pen))
-                key = (su, float(pen))
-                if key not in trig_tab:
-                    pmx, pmn = tabs[su]
-                    pw = I - 1 - su + zpad
-                    t1 = ((postmax[:, I] - pmx[:, pw])
-                          > (pre_t + pen)).any(-1).any(0)
-                    t2 = ((postmin[:, I] - pmn[:, pw])
-                          < (post_t - pen)).any(-1).any(0)
-                    trig_tab[key] = (t1, t2)
-                return trig_tab[key]
-
+            mk, nst, _, Si, w0, w1 = job[:6]
             newmk = np.zeros(w1 - w0 + 2, bool)
             stretch = SMAX
             retrig_tail = False
             for j in range(w0, w1):
                 stretch = min(stretch + 1, SMAX)
-                t1, t2 = trig(stretch // 2)
+                s2 = stretch >> 1
                 k = j - w0
-                if t1[k]:
+                if T1c[s2, k]:
                     newmk[k] = True
                     newmk[k + 1] = True
-                if t2[k]:
+                if T2c[s2, k]:
                     newmk[k] = True
                     if k > 0:
                         newmk[k - 1] = True
-                if t1[k]:
+                if T1c[s2, k]:
                     stretch = -1
                     if j >= w1 - (SMAX + 2):
                         retrig_tail = True
             if retrig_tail and w1 < nst:
-                b = w1 + PAD       # trigger near the window end:
-                w1 = min(nst, b + PAD)   # stretch state leaks on
-                rhi = min(Si // 64, w1 + 2)
-                fr = self._fetch_env_rows(
-                    x64, base + np.arange(r0, rhi))
+                # trigger near the window end: stretch state leaks —
+                # extend the window and rebuild this cluster's tables
+                # on device (same math as the batch pass)
+                b = w1 + PAD
+                job[5] = w1 = min(nst, b + PAD)
+                job[6] = b
+                job[8] = min(Si // 64, w1 + 2) - job[7]
+                Tn1, Tn2 = self._rescue_trig_tables(x64, [job])
+                T1c, T2c = Tn1[:, 0], Tn2[:, 0]
                 continue
             mk[w0:w1] = newmk[:w1 - w0]
             if w1 < nst and newmk[w1 - w0]:
@@ -1013,6 +1074,12 @@ class FastEncoder:
             cs = hop + hop * np.arange(k + 1, dtype=np.int64)
             return (cs, np.ones(k + 1, np.int64),
                     np.zeros(k + 1, bool))
+        from .. import native
+        res = native.schedule(marks, ns, n0, n1)
+        if res is not None:
+            # native blockout state machine (vn_schedule), equal to
+            # the Python walk below (tests/test_fastenc.py)
+            return res
         mpos = np.flatnonzero(marks).astype(np.int64) * 64
         mc = np.concatenate([[0], np.cumsum(marks.astype(np.int64))])
         limit = 64 * nmk
@@ -1605,8 +1672,13 @@ class FastEncoder:
                 if pcm.dtype != np.int16:
                     pcm = pcm.astype(np.float32, copy=False)
                 front, tailbuf = self._edge_pads(pcm, hop, tail)
-                x = np.concatenate([front, pcm, tailbuf], 1)
-                xd = jax.device_put(x)
+                # ship the big PCM body as-is (no host-side
+                # concatenate copy) and join on device: each stream's
+                # H2D dispatches async here, so later streams'
+                # transfers overlap earlier streams' envelope compute
+                xd = jnp.concatenate(
+                    [jax.device_put(front), jax.device_put(pcm),
+                     jax.device_put(tailbuf)], 1)
             parts.append(xd.reshape(ch, Si // 64, 64))
             metas.append((ns, base, Si))
             base += Si // 64

@@ -79,6 +79,21 @@ def _load():
         np.ctypeslib.ndpointer(np.int32, flags="C"),
         np.ctypeslib.ndpointer(np.int64, flags="C"), C.c_int,
         np.ctypeslib.ndpointer(np.int64, flags="C"), C.c_long]
+    L.vn_rescue_walk.restype = C.c_long
+    L.vn_rescue_walk.argtypes = [
+        np.ctypeslib.ndpointer(np.uint8, flags="C"),
+        np.ctypeslib.ndpointer(np.uint8, flags="C"),
+        C.c_long, C.c_long,
+        np.ctypeslib.ndpointer(np.int32, flags="C"), C.c_int,
+        np.ctypeslib.ndpointer(np.uint8, flags="C"),
+        np.ctypeslib.ndpointer(np.uint8, flags="C")]
+    L.vn_schedule.restype = C.c_long
+    L.vn_schedule.argtypes = [
+        np.ctypeslib.ndpointer(np.uint8, flags="C"),
+        C.c_long, C.c_long, C.c_long, C.c_long,
+        np.ctypeslib.ndpointer(np.int64, flags="C"),
+        np.ctypeslib.ndpointer(np.int64, flags="C"),
+        np.ctypeslib.ndpointer(np.uint8, flags="C")]
     # raw-pointer twin for the hot per-packet Huffman calls: the
     # ndpointer from_param marshalling costs more than the decode
     global _raw
@@ -368,3 +383,41 @@ def pack_bits_multi(values: np.ndarray, nbits: np.ndarray):
     nbytes = np.zeros(F, np.int64)
     L.vn_pack_bits_multi(values, nbits, F, Cc, out, off, nbytes)
     return [out[off[f]:off[f] + nbytes[f]].tobytes() for f in range(F)]
+
+
+def rescue_walk(T1, T2, wlen, smax):
+    """Stretch-rescue lockstep walk over device-built trigger tables
+    (T1/T2: (smax//2+1, C, Lw) bool, wlen: (C,) window lengths).
+    Returns (newmk (C, Lw+2) bool, retrig (C,) bool) or None without
+    the library.  Reference state machine: envelope.c:569-681."""
+    L = _load()
+    if L is None:
+        return None
+    T1 = np.ascontiguousarray(T1, np.uint8)
+    T2 = np.ascontiguousarray(T2, np.uint8)
+    _, Cc, Lw = T1.shape
+    wlen = np.ascontiguousarray(wlen, np.int32)
+    newmk = np.zeros((Cc, Lw + 2), np.uint8)
+    retrig = np.zeros(Cc, np.uint8)
+    L.vn_rescue_walk(T1, T2, Cc, Lw, wlen, int(smax), newmk, retrig)
+    return newmk.astype(bool), retrig.astype(bool)
+
+
+def schedule(marks, ns, n0, n1):
+    """Envelope marks -> block schedule via the native blockout state
+    machine (reference: block.c:557-812).  Returns (centers, Ws,
+    impulse) or None without the library."""
+    L = _load()
+    if L is None:
+        return None
+    marks = np.ascontiguousarray(marks, np.uint8)
+    nmk = len(marks)
+    hop = n1 // 2
+    cap = (hop + int(ns) - hop) // (n0 // 2) + 3
+    centers = np.empty(cap, np.int64)
+    Ws = np.empty(cap, np.int64)
+    imp = np.empty(cap, np.uint8)
+    cnt = L.vn_schedule(marks, nmk, int(ns), int(n0), int(n1),
+                        centers, Ws, imp)
+    assert 0 < cnt <= cap, (cnt, cap)
+    return centers[:cnt], Ws[:cnt], imp[:cnt].astype(bool)

@@ -427,10 +427,96 @@ class OggVorbisFile:
                                 halfrate=bool(getattr(self, "_hs", 0)))
         self._pkt_iter = self._link_packets(lk, from_off)
         self._pending = None
+        self._fast = self._make_fast(lk)
+
+    def _make_fast(self, lk):
+        """Chunked fast stream decoder for incremental reads (K
+        packets per fused native call, lap/granulepos state carried —
+        models/fastdec.py FastStreamDecoder); None -> the per-packet
+        scalar path.  The heavy per-stream tables (FastDecoder) are
+        cached on the link, so seeks re-enter at drain speed."""
+        try:
+            from .models.fastdec import (FastDecodeUnsupported,
+                                         FastDecoder, FastStreamDecoder)
+        except ImportError:
+            return None
+        try:
+            fd = getattr(lk, "_fastdec", None)
+            if fd is None:
+                fd = FastDecoder(lk.vi)
+                lk._fastdec = fd
+            return FastStreamDecoder(fd, hs=getattr(self, "_hs", 0))
+        except FastDecodeUnsupported:
+            return None
+
+    def _granulepos(self):
+        """Granulepos of the active decode state (fast chunked or
+        scalar), -1 until a label has been seen."""
+        if getattr(self, "_fast", None) is not None:
+            return self._fast.granulepos
+        return self._decoder.granulepos
+
+    def _lap_tail(self):
+        """Lap tail for crosslap: when the chunked fast path is
+        active, prime the scalar decoder's rolling buffer with the
+        last processed packets first (the lap depends only on the
+        final blocks; same trick as _read_all_batched)."""
+        fast = getattr(self, "_fast", None)
+        if fast is not None:
+            for pk in fast.last_packets():
+                try:
+                    blk, Wb = self._decoder.synthesize(pk)
+                    self._decoder.blockin(blk, Wb, None, False)
+                except _HOLE_ERRORS:
+                    pass
+            self._decoder.pcm_returned = self._decoder.pcm_current
+        return self._decoder.lapout()
+
+    _FAST_K = 256            # packets per fused chunk once warmed
+
+    def _decode_next_fast(self):
+        """Chunked fast _decode_next: pull up to K packets, decode
+        them in one fused native call.  The first post-(re)open chunk
+        is small (seek latency), later chunks grow to _FAST_K (drain
+        throughput)."""
+        fast = self._fast
+        while True:
+            K = fast._K0
+            fast._K0 = min(self._FAST_K, K * 4)
+            batch = []
+            for _ in range(K):
+                try:
+                    pk, gp, eos, _ = next(self._pkt_iter)
+                except StopIteration:
+                    break
+                self._inst_bits += 8 * len(pk)
+                batch.append((pk, gp, eos))
+                if eos:
+                    break
+            if not batch:
+                out = fast.flush()
+                self.hole_count += fast.take_holes()
+                if out.shape[1]:
+                    self._inst_samples += out.shape[1]
+                    return out
+                if self._cur_link + 1 < len(self.links):
+                    self._open_link(self._cur_link + 1)
+                    fast = self._fast
+                    if fast is None:
+                        return self._decode_next()
+                    continue
+                return None
+            out = fast.feed(batch)
+            self.hole_count += fast.take_holes()
+            if out.shape[1]:
+                self._inst_samples += out.shape[1]
+                return out
 
     def _decode_next(self):
         """Decode packets until PCM appears; returns (ch, k) or None at
         end of link/chain (advancing links automatically)."""
+        if getattr(self, "_fast", None) is not None:
+            return self._decode_next_fast()
         while True:
             try:
                 pk, gp, eos, _ = next(self._pkt_iter)
@@ -621,6 +707,7 @@ class OggVorbisFile:
                                 halfrate=bool(getattr(self, "_hs", 0)))
         self._pkt_iter = self._link_packets(lk, byte_off)
         self._pending = None
+        self._fast = self._make_fast(lk)
         # position resolves lazily from the next page granulepos
         # (reference re-derives it after any raw sync)
         self._pcm_offset = None
@@ -633,14 +720,14 @@ class OggVorbisFile:
         lk = self.links[self._cur_link]
         chunks = []
         total = 0
-        while self._decoder.granulepos == -1:
+        while self._granulepos() == -1:
             c = self._decode_next()
             if c is None:
                 self._pcm_offset = lk.pcm_start + lk.pcm_total
                 return
             chunks.append(c)
             total += c.shape[1] << getattr(self, "_hs", 0)
-        frontier = lk.pcm_start + self._decoder.granulepos
+        frontier = lk.pcm_start + self._granulepos()
         self._pcm_offset = frontier - total
         if chunks:
             self._pending = np.concatenate(chunks, axis=1)
@@ -737,7 +824,7 @@ class OggVorbisFile:
         n = min(n1, n2)
         w = (window_half(vi1.blocksizes[0] >> hs1) if n1 <= n2
              else window_half(vi2.blocksizes[0] >> hs2))[:n]
-        tail = self._decoder.lapout() if self._decoder is not None else None
+        tail = self._lap_tail() if self._decoder is not None else None
         if tail is None:
             return
         lap = np.zeros((vi1.channels, n), np.float32)
@@ -758,6 +845,12 @@ class OggVorbisFile:
         wd = (w[:m] * w[:m]).astype(np.float32)
         spliced = (head * wd + lap[:, :m]
                    * (np.float32(1.0) - wd)).astype(np.float32)
+        # put the spliced samples back in front of whatever decoded
+        # PCM is still pending (the reference splices in place inside
+        # the synthesis buffer, so nothing after the lap is dropped)
+        left = other._pending
+        if left is not None and left.shape[1]:
+            spliced = np.concatenate([spliced, left], axis=1)
         other._pending = spliced
         other._pcm_offset -= m << hs2
 
